@@ -16,8 +16,7 @@ def test_anls_score_matches_reference_semantics():
     assert metrics.anls_score("abc", "bd") == pytest.approx(1 - 2 / 3)
     assert metrics.anls_score("ABC", "abc") == 1.0
     assert metrics.anls_score("", "") == 1.0
-    assert metrics.anls_score("", "ab") == pytest.approx(-1.0 + 0.0)  # 1 - 2/2 = 0
-    assert metrics.anls_score("", "ab") == 0.0
+    assert metrics.anls_score("", "ab") == 0.0  # 1 - 2/2
 
 
 def test_note_stvqa_and_threshold():
