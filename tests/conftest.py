@@ -18,6 +18,13 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# The JAX_PLATFORMS env var is ignored in this environment (the experimental
+# 'axon' TPU plugin wins platform selection), so pin the platform via the
+# config API before any computation runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 
