@@ -1,0 +1,274 @@
+"""BERT encoder (flax) — the FLOP-dominant stage of the pipeline.
+
+A from-scratch implementation of the 2018 BERT architecture the reference
+vendors (`Models/Bert/modeling.py:155-614`), restructured for TPU:
+
+* the encoder returns ALL layer activations stacked as [num_layers, B, L, D]
+  (the fusion model consumes an α-softmax combination of the 12 layers,
+  `SDNet.py:573-583`);
+* attention can run through a Pallas flash-attention kernel
+  (``config.attention_impl='pallas'``) or plain XLA einsums (the reference's
+  vanilla O(L²) math, `modeling.py:233-246`);
+* subword→word pooling is a batched segment-mean matmul
+  (:func:`subword_to_word_pooling`) instead of the reference's Python double
+  loop (`Models/Bert/Bert.py:111-123,149-165`);
+* sequences longer than 512 are chunked and concatenated with positions
+  restarting per chunk — the reference's deliberate quirk
+  (`Bert.py:94-101`), reproduced at trace time with static shapes.
+
+The reference runs BERT in eval mode even while training the fusion stack
+(`Bert.py:43`), so every entry point here defaults to deterministic
+(dropout-free) execution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ruart_tpu.models.bert.config import BertConfig
+
+ATTN_MASK_BIAS = -10000.0  # reference `modeling.py:583`
+
+
+def _dtype(config: BertConfig):
+    return jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+        c = self.config
+        seq_len = input_ids.shape[-1]
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
+            input_ids
+        )
+        pos_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, name="position_embeddings"
+        )(pos_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        typ = nn.Embed(c.type_vocab_size, c.hidden_size, name="token_type_embeddings")(
+            token_type_ids
+        )
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm")(x)
+        x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x.astype(_dtype(c))
+
+
+def xla_attention(q, k, v, bias, dropout_fn=None):
+    """Vanilla scaled-dot-product attention (`modeling.py:233-246`).
+
+    q/k/v: [B, H, L, Dh]; bias: [B, 1, 1, L] additive mask.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
+    scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_fn is not None:
+        probs = dropout_fn(probs)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic=True):
+        c = self.config
+        H, D = c.num_attention_heads, c.hidden_size
+        dh = D // H
+
+        def proj(name):
+            return nn.Dense(D, name=name, dtype=_dtype(c))
+
+        def split_heads(x):
+            return x.reshape(*x.shape[:-1], H, dh).transpose(0, 2, 1, 3)
+
+        q = split_heads(proj("query")(hidden))
+        k = split_heads(proj("key")(hidden))
+        v = split_heads(proj("value")(hidden))
+
+        if c.attention_impl == "pallas":
+            from ruart_tpu.models.bert.pallas_attention import flash_attention
+
+            ctx = flash_attention(q, k, v, bias)
+        else:
+            drop = None
+            if not deterministic and c.attention_probs_dropout_prob > 0:
+                dropout = nn.Dropout(c.attention_probs_dropout_prob)
+                drop = lambda p: dropout(p, deterministic=False)
+            ctx = xla_attention(q, k, v, bias, drop)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(*hidden.shape[:-1], D)
+        return ctx.astype(_dtype(c))
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic=True):
+        c = self.config
+        dt = _dtype(c)
+        attn_out = BertSelfAttention(c, name="attention_self")(
+            hidden, bias, deterministic
+        )
+        attn_out = nn.Dense(c.hidden_size, name="attention_output_dense", dtype=dt)(
+            attn_out
+        )
+        attn_out = nn.Dropout(c.hidden_dropout_prob)(
+            attn_out, deterministic=deterministic
+        )
+        hidden = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="attention_output_LayerNorm"
+        )(attn_out + hidden)
+
+        inter = nn.Dense(c.intermediate_size, name="intermediate_dense", dtype=dt)(
+            hidden
+        )
+        inter = jax.nn.gelu(inter.astype(jnp.float32), approximate=False).astype(dt)
+        out = nn.Dense(c.hidden_size, name="output_dense", dtype=dt)(inter)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm")(
+            out + hidden
+        )
+        return hidden
+
+
+class BertModel(nn.Module):
+    """Returns all encoder layers stacked [num_layers, B, L, D] plus the
+    pooled [CLS] vector (reference `modeling.py:534-614` with
+    output_all_encoded_layers=True)."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        deterministic: bool = True,
+    ):
+        c = self.config
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * (
+            ATTN_MASK_BIAS
+        )
+        hidden = BertEmbeddings(c, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        layers = []
+        for i in range(c.num_hidden_layers):
+            hidden = BertLayer(c, name=f"layer_{i}")(hidden, bias, deterministic)
+            layers.append(hidden.astype(jnp.float32))
+        all_layers = jnp.stack(layers, axis=0)
+        pooled = nn.Dense(c.hidden_size, name="pooler_dense")(all_layers[-1][:, 0])
+        pooled = jnp.tanh(pooled)
+        return all_layers, pooled
+
+
+def encode_chunked(
+    model: BertModel, params, input_ids, attention_mask, max_chunk: int = 512
+):
+    """Reference >512 chunking (`Bert.py:94-101`): encode fixed chunks
+    sequentially (positions restart each chunk) and concatenate on the
+    sequence axis. Static python loop — shapes stay fixed under jit."""
+    L = input_ids.shape[-1]
+    if L <= max_chunk:
+        return model.apply(params, input_ids, attention_mask)[0]
+    outs = []
+    for p in range(0, L, max_chunk):
+        sl = slice(p, min(p + max_chunk, L))
+        outs.append(
+            model.apply(params, input_ids[:, sl], attention_mask[:, sl])[0]
+        )
+    return jnp.concatenate(outs, axis=2)
+
+
+def subword_to_word_pooling(
+    bert_embedding: jax.Array,
+    offsets: jax.Array,
+    word_mask: jax.Array,
+) -> jax.Array:
+    """Mean-pool wordpiece spans into word vectors as one matmul.
+
+    bert_embedding: [..., B, Lb, D] (leading layer axis allowed)
+    offsets:        [B, W, 2] int32 (start, end) piece spans per word
+    word_mask:      [B, W] 1 = real word
+
+    Matches `Bert.py:111-123`: span length <= 1 (incl. empty) takes the
+    vector at ``start``; longer spans take the mean over [start, end);
+    masked words are zero.
+    """
+    Lb = bert_embedding.shape[-2]
+    st = offsets[..., 0]                     # [B, W]
+    ed = offsets[..., 1]
+    span = ed - st
+    k = jnp.arange(Lb, dtype=jnp.int32)[None, None, :]
+    in_span = (k >= st[..., None]) & (k < ed[..., None])          # [B, W, Lb]
+    single = span <= 1
+    onehot = k == jnp.clip(st, 0, Lb - 1)[..., None]
+    weights = jnp.where(
+        single[..., None],
+        onehot.astype(jnp.float32),
+        in_span.astype(jnp.float32) / jnp.maximum(span, 1)[..., None],
+    )
+    weights = weights * word_mask[..., None].astype(jnp.float32)
+    return jnp.einsum(
+        "bwl,...bld->...bwd",
+        weights,
+        bert_embedding,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def linear_combine(all_layers: jax.Array, alpha: jax.Array, gamma: jax.Array):
+    """α-softmax layer mix: sum_l softmax(α)_l * gamma * layer_l
+    (`SDNet.py:573-583`). all_layers: [L, ...]; returns [...]."""
+    w = jax.nn.softmax(alpha) * gamma.reshape(())
+    return jnp.tensordot(w, all_layers, axes=(0, 0))
+
+
+class BertWordEncoder(nn.Module):
+    """BERT + word pooling + 12-layer linear combine in one module.
+
+    Combining layers BEFORE pooling is mathematically identical to the
+    reference's pool-then-combine (both are linear) and 12x cheaper on the
+    pooling matmul.
+    """
+
+    config: BertConfig
+    linear_combine: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        offsets,
+        word_mask,
+        deterministic: bool = True,
+    ):
+        all_layers, _ = BertModel(self.config, name="bert")(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        if self.linear_combine:
+            alpha = self.param(
+                "alphaBERT", lambda k: jnp.ones((self.config.num_hidden_layers,))
+            )
+            gamma = self.param("gammaBERT", lambda k: jnp.ones((1, 1)))
+            combined = linear_combine(all_layers, alpha, gamma)
+        else:
+            combined = all_layers[-1]
+        return subword_to_word_pooling(combined, offsets, word_mask)
