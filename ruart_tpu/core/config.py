@@ -234,7 +234,15 @@ class Config:
         ques_input_size = emb_width(q_emb)
         x_input_size = emb_width(ocr_emb)
 
-        vocab_dim = 300  # `SDNet.py:25`
+        # Word-vector width used by pre-align and deep attention. The
+        # reference hardcodes 300 (`SDNet.py:25`) == its glove/fasttext dim;
+        # deriving it keeps scaled-down test configs consistent.
+        if "GLOVE" in opt:
+            vocab_dim = glove_dim
+        elif "FastText" in opt:
+            vocab_dim = fast_dim
+        else:
+            vocab_dim = 300
         if "PRE_ALIGN" in opt and "PRE_ALIGN_befor_rnn" in opt:
             x_input_size += vocab_dim
 

@@ -1,0 +1,490 @@
+"""RUArt fusion network — the full forward pass as ONE jitted program.
+
+TPU-native re-design of the reference model graph (`Models/SDNet.py:253-437`)
+with identical math on the shipped-conf path but zero host-side Python in the
+hot loop:
+
+* candidates live in fixed-shape [B, N, L] tensors; the reference's ragged
+  scatter loops (`SDNet.py:298-318,495-551`) become reshapes, a batched
+  last-state gather, and a candidate mask;
+* the word-level pre-alignment runs directly on [B, N*L] tokens — each
+  token's attended vector depends only on the question, so the ragged
+  packing in `SDNet.get_prealign_emb` is unnecessary (padded tokens are
+  masked to zero afterwards, matching the reference's zero-filled buffers);
+* all three BERT calls (question / OCR / OD) run through one shared encoder
+  submodule on flattened [B*N, Lb] batches — the FLOP-dominant stage
+  (SURVEY §3.5), MXU-batched;
+* the 12-layer α-combine happens BEFORE subword pooling (linear ops
+  commute; 12x less pooling work).
+
+Batch schema (all int32 unless noted; PAD id 0; masks derived as id != 0,
+matching `VQA_Dataset.py:502-516`):
+
+question dict ``q``:
+  glove/fasttext/phoc [B, Lq], pos [B, Lq], ent [B, Lq],
+  bert [B, Lqb], bert_mask [B, Lqb], bert_offsets [B, Lq, 2],
+  img_features [B, F, img_fea_dim] f32 (optional), img_spatials [B, F, 8] f32
+
+candidate dicts ``ocr`` / ``od``:
+  fasttext/glove/phoc [B, N, L], pos [B, N, L], ent [B, N, L],
+  bert [B, N, Lb], bert_mask [B, N, Lb], bert_offsets [B, N, L, 2],
+  position [B, N, 8] f32, len [B, N] (words per candidate),
+  num [B] (real candidates incl. the <OCR>/<OD> sentinel)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ruart_tpu.models.bert.model import (
+    BertModel,
+    linear_combine,
+    subword_to_word_pooling,
+)
+from ruart_tpu.models.fusion.deep_attention import DeepAttention
+from ruart_tpu.models.fusion.layers import (
+    Attention,
+    GetFinalScores,
+    LinearSelfAttn,
+    dropout_fn,
+    weighted_avg,
+)
+from ruart_tpu.models.fusion.rnn import StackedBRNN, gather_last_state
+from ruart_tpu.models.fusion.spec import ModelSpec
+
+
+def _flatten_cand(x: jax.Array) -> jax.Array:
+    """[B, N, ...] -> [B*N, ...]"""
+    return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+
+class RUArtModel(nn.Module):
+    spec: ModelSpec
+
+    def setup(self):
+        s = self.spec
+        if s.use_glove:
+            self.glove_embed = nn.Embed(s.vocab_size, s.glove_dim)
+        if s.use_fasttext:
+            self.fast_embed = nn.Embed(s.vocab_size, s.fast_dim)
+        if s.use_phoc:
+            self.phoc_embed = nn.Embed(s.vocab_size, s.phoc_dim)
+        needs_pos = "pos" in s.q_embedding or "pos" in s.ocr_embedding
+        needs_ent = "ent" in s.q_embedding or "ent" in s.ocr_embedding
+        if needs_pos:
+            self.pos_embedding = nn.Embed(s.pos_vocab, s.pos_dim)
+        if needs_ent:
+            self.ent_embedding = nn.Embed(s.ent_vocab, s.ent_dim)
+
+        if s.use_bert:
+            self.Bert = BertModel(s.bert)
+            if s.bert_linear_combine:
+                self.alphaBERT = self.param(
+                    "alphaBERT", lambda k: jnp.ones((s.bert.num_hidden_layers,))
+                )
+                self.gammaBERT = self.param("gammaBERT", lambda k: jnp.ones((1, 1)))
+
+        if s.pre_align:
+            self.pre_align = Attention(
+                s.prealign_hidden, correlation_func=3, do_similarity=True,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+
+        self.multi2one = StackedBRNN(
+            s.multi2one_hidden_size, num_layers=1,
+            bidirectional=s.multi2one_bidir,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        self.context_rnn = StackedBRNN(
+            s.hidden_size, num_layers=s.in_rnn_layers,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        self.ques_rnn = StackedBRNN(
+            s.hidden_size, num_layers=s.in_rnn_layers,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        self.deep_attn = DeepAttention(
+            abstr_list_cnt=s.in_rnn_layers,
+            deep_att_hidden_size_per_abstr=s.deep_att_hidden_size_per_abstr,
+            highlvl_hidden_size=s.highlvl_hidden_size,
+            correlation_func=3,
+            no_deep_attention=s.no_deep_attention,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        self.high_lvl_ques_rnn = StackedBRNN(
+            s.highlvl_hidden_size,
+            num_layers=s.question_high_lvl_rnn_layers,
+            concat_layers=True,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        deep_out = s.highlvl_hidden_size * 2
+        if not s.no_context_self_attention:
+            self.highlvl_self_att = Attention(
+                s.deep_att_hidden_size_per_abstr, correlation_func=3,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+        self.high_lvl_context_rnn = StackedBRNN(
+            s.highlvl_hidden_size, num_layers=1,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        self.ques_self_attn = Attention(
+            s.query_self_attn_hidden_size, correlation_func=3,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        if s.position_mod == "qk+":
+            self.od_ocr_attn = Attention(
+                s.hidden_size, correlation_func=3, do_similarity=True,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+            self.position_attn = Attention(
+                s.hidden_size, correlation_func=3, do_similarity=True,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+        elif s.position_mod == "cat":
+            self.od_ocr_attn = Attention(
+                s.hidden_size, correlation_func=3, do_similarity=True,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+        self.ques_merger = LinearSelfAttn(
+            dropout_p=s.dropout_p, variational=s.variational
+        )
+
+        ques_final = s.ques_final_size
+        if s.img_feature and s.img_fea_way == "replace_od":
+            self.img_fea2od = nn.Dense(s.multi2one_output)
+        self.get_answer = GetFinalScores(
+            s.ocr_final_size, ques_final,
+            yesno=s.label_yesno, no_answer=s.label_no_answer, use_es=s.use_es,
+            dropout_p=s.dropout_p, variational=s.variational,
+        )
+        if s.fixed_answers:
+            self.fixed_ans_classifier = nn.Dense(s.fixed_answers_len + 1)
+            self.fixed_ocr_alpha = self.param(
+                "fixed_ocr_alpha", lambda k: jnp.full((1, 1), 0.5)
+            )
+        if s.use_es and s.es_using_way == "post_process":
+            self.ES_linear = nn.Dense(s.ocr_final_size)
+            self.ES_ocr_att = Attention(
+                s.hidden_size, correlation_func=3, do_similarity=True,
+                dropout_p=s.dropout_p, variational=s.variational,
+            )
+
+    # ------------------------------------------------------------------
+    def _word_mask(self, item: Dict[str, jax.Array], initial: str) -> jax.Array:
+        """Word mask keyed by the *_emb_initial conf value (the reference
+        picks bert-pooling masks this way, `SDNet.py:470-480`)."""
+        key = "fasttext" if initial == "fasttext" else "glove"
+        return (item[key] != 0).astype(jnp.float32)
+
+    @staticmethod
+    def _mask_by_membership(item, names) -> jax.Array:
+        """Word mask with fasttext-if-present priority (the reference's
+        rule for multi2one/pre-align masks, `SDNet.py:269-274,507-518`)."""
+        key = "fasttext" if "fasttext" in names else "glove"
+        return (item[key] != 0).astype(jnp.float32)
+
+    def _bert_words(self, item, word_mask, deterministic) -> jax.Array:
+        """Shared BERT encode + combine + word pooling. Gradients are cut
+        when LOCK_BERT (`SDNet.py:91-94`); BERT always runs dropout-free
+        (`Bert.py:43`)."""
+        s = self.spec
+        ids = item["bert"]
+        mask = item["bert_mask"]
+        all_layers, _ = self.Bert(ids, mask, deterministic=True)
+        if s.lock_bert:
+            all_layers = jax.lax.stop_gradient(all_layers)
+        if s.bert_linear_combine:
+            combined = linear_combine(all_layers, self.alphaBERT, self.gammaBERT)
+        else:
+            combined = all_layers[-1]
+        pooled = subword_to_word_pooling(combined, item["bert_offsets"], word_mask)
+        if s.bert_linear_combine:
+            pooled = dropout_fn(
+                self, pooled, s.dropout_emb, s.variational, deterministic
+            )
+        return pooled
+
+    def _embed(
+        self,
+        item: Dict[str, jax.Array],
+        names: Tuple[str, ...],
+        initial: str,
+        deterministic: bool,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Assemble the concatenated embedding (`SDNet.py:439-493`). Returns
+        (embedding, extras) where extras carries the raw word-vector
+        embedding used by pre-align / deep attention."""
+        s = self.spec
+        embs = []
+        extras: Dict[str, jax.Array] = {}
+
+        def drop(x):
+            return dropout_fn(self, x, s.dropout_emb, s.variational, deterministic)
+
+        if "phoc" in names:
+            embs.append(drop(self.phoc_embed(item["phoc"])))
+        if "fasttext" in names:
+            fast = self.fast_embed(item["fasttext"])
+            extras["word_emb"] = fast  # fasttext-if-present priority
+            embs.append(drop(fast))
+        if "glove" in names:
+            glove = self.glove_embed(item["glove"])
+            extras.setdefault("word_emb", glove)
+            embs.append(drop(glove))
+        if "bert" in names or "bert_only" in names:
+            word_mask = self._word_mask(item, initial)
+            embs.append(self._bert_words(item, word_mask, deterministic))
+        if "pos" in names:
+            embs.append(self.pos_embedding(item["pos"]))
+        if "ent" in names:
+            embs.append(self.ent_embedding(item["ent"]))
+        return jnp.concatenate(embs, axis=-1), extras
+
+    # ------------------------------------------------------------------
+    def _encode_candidates(
+        self,
+        item: Dict[str, jax.Array],
+        q_word_emb: jax.Array,
+        q_word_mask: jax.Array,
+        deterministic: bool,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Token-level embed + pre-align + multi2one -> candidate vectors.
+
+        Returns (cand_feat [B, N, multi2one_out], cand_mask [B, N],
+        word_emb [B, N, L, vocab_dim])."""
+        s = self.spec
+        B, N, L = item["fasttext" if s.use_fasttext else "glove"].shape[:3]
+        flat = {k: _flatten_cand(v) for k, v in item.items() if k not in ("num",)}
+
+        emb, extras = self._embed(flat, s.ocr_embedding, s.ocr_emb_initial, deterministic)
+        word_emb = extras["word_emb"]                             # [B*N, L, 300]
+        tok_mask = self._mask_by_membership(flat, s.ocr_embedding)  # [B*N, L]
+
+        if s.pre_align and s.pre_align_before_rnn:
+            # every token attends to the question's word vectors; padded
+            # tokens zeroed to match the reference's zero-filled buffers
+            tokens = word_emb.reshape(B, N * L, -1)
+            attended = self.pre_align(
+                tokens, q_word_emb, q_word_mask, deterministic=deterministic
+            )
+            attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
+            emb = jnp.concatenate([emb, attended], axis=-1)
+
+        m2o = self.multi2one(emb, deterministic=deterministic)   # [B*N, L, H]
+        last = gather_last_state(m2o, flat["len"])               # [B*N, H]
+        cand = last.reshape(B, N, -1)
+        cand_mask = (
+            jnp.arange(N, dtype=jnp.int32)[None, :] < item["num"][:, None]
+        ).astype(jnp.float32)
+        cand = cand * cand_mask[..., None]
+        return cand, cand_mask, word_emb.reshape(B, N, L, -1)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        q: Dict[str, jax.Array],
+        ocr: Dict[str, jax.Array],
+        od: Dict[str, jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        s = self.spec
+
+        # --- question embedding ---------------------------------------
+        q_input, q_extras = self._embed(q, s.q_embedding, s.q_emb_initial, deterministic)
+        q_word_emb = q_extras["word_emb"]
+        q_mask = self._word_mask(q, s.q_emb_initial)
+
+        # --- candidate encoding ---------------------------------------
+        ocr_input, ocr_mask, _ = self._encode_candidates(
+            ocr, q_word_emb, q_mask, deterministic
+        )
+        ocr_position = ocr["position"]
+
+        if s.img_feature and s.img_fea_way == "replace_od":
+            od_input = self.img_fea2od(q["img_features"])
+            od_mask = jnp.ones(od_input.shape[:2], dtype=jnp.float32)
+            od_position = q["img_spatials"]
+        elif s.img_feature and s.img_fea_way == "final_att":
+            # reference zeroes the OD stream in this mode (`SDNet.py:282-286`)
+            B, M = od["position"].shape[:2]
+            od_input = jnp.zeros((B, M, s.multi2one_output))
+            od_mask = jnp.zeros((B, M), dtype=jnp.float32)
+            od_position = od["position"]
+        else:
+            od_input, od_mask, _ = self._encode_candidates(
+                od, q_word_emb, q_mask, deterministic
+            )
+            od_position = od["position"]
+
+        # --- ES post_process split (`SDNet.py:292-324`) ----------------
+        es_post = s.use_es and s.es_using_way == "post_process"
+        if es_post:
+            es_len = s.es_ocr_len
+            es_emb = ocr_input[:, :es_len]
+            ocr_input = ocr_input[:, es_len:]
+            ocr_position = ocr_position[:, es_len:]
+            # candidates shift down by es_len; the reference leaves the mask
+            # bits of the first (cnt - es_len) positions set
+            n_rest = ocr_input.shape[1]
+            rest_cnt = jnp.clip(ocr["num"] - es_len, 0, n_rest)
+            keep_all = ocr["num"] < es_len  # cnt < es_len keeps original bits
+            ocr_mask = jnp.where(
+                keep_all[:, None],
+                ocr_mask[:, :n_rest],
+                (jnp.arange(n_rest)[None, :] < rest_cnt[:, None]).astype(jnp.float32),
+            )
+            es_mask = jnp.ones((ocr_input.shape[0], es_len), dtype=jnp.float32)
+
+        # --- PRE_ALIGN_after_rnn (`SDNet.py:330-336`) -------------------
+        if s.pre_align and s.pre_align_after_rnn:
+            ocr_prealign = self.pre_align(
+                ocr_input, q_word_emb, q_mask, deterministic=deterministic
+            )
+            od_prealign = self.pre_align(
+                od_input, q_word_emb, q_mask, deterministic=deterministic
+            )
+
+        # --- context / question RNN stacks ------------------------------
+        _, ocr_rnn_layers = self.context_rnn(
+            ocr_input, deterministic=deterministic, ln=True, return_list=True
+        )
+        _, q_rnn_layers = self.ques_rnn(
+            q_input, deterministic=deterministic, ln=True, return_list=True
+        )
+        _, od_rnn_layers = self.context_rnn(
+            od_input, deterministic=deterministic, ln=True, return_list=True
+        )
+
+        q_highlvl = self.high_lvl_ques_rnn(
+            jnp.concatenate(q_rnn_layers, axis=2),
+            deterministic=deterministic, ln=True,
+        )
+        q_rnn_all = list(q_rnn_layers) + [q_highlvl]
+
+        # --- deep inter-attention ---------------------------------------
+        if not s.use_glove and not s.use_fasttext:
+            ocr_long, q_long, od_long = [], [], []
+        elif s.pre_align_after_rnn:
+            ocr_long, q_long, od_long = [ocr_prealign], [q_word_emb], [od_prealign]
+        else:
+            ocr_long, q_long, od_long = [ocr_input], [q_word_emb], [od_input]
+
+        ocr_after, ocr_inter = self.deep_attn(
+            ocr_long, ocr_rnn_layers, q_long, q_rnn_all, ocr_mask, q_mask,
+            deterministic=deterministic, return_bef_rnn=True,
+        )
+        od_after, od_inter = self.deep_attn(
+            od_long, od_rnn_layers, q_long, q_rnn_all, od_mask, q_mask,
+            deterministic=deterministic, return_bef_rnn=True,
+        )
+
+        # --- self attention + high-level context RNN --------------------
+        if s.no_context_self_attention:
+            ocr_highlvl = self.high_lvl_context_rnn(
+                ocr_after, deterministic=deterministic, ln=True
+            )
+            od_highlvl = self.high_lvl_context_rnn(
+                od_after, deterministic=deterministic, ln=True
+            )
+        else:
+            ocr_self_in = jnp.concatenate([ocr_after, ocr_inter, ocr_input], axis=2)
+            od_self_in = jnp.concatenate([od_after, od_inter, od_input], axis=2)
+            ocr_self = self.highlvl_self_att(
+                ocr_self_in, ocr_self_in, ocr_mask, x3=ocr_after,
+                deterministic=deterministic,
+            )
+            od_self = self.highlvl_self_att(
+                od_self_in, od_self_in, od_mask, x3=od_after,
+                deterministic=deterministic,
+            )
+            ocr_highlvl = self.high_lvl_context_rnn(
+                jnp.concatenate([ocr_after, ocr_self], axis=2),
+                deterministic=deterministic, ln=True,
+            )
+            od_highlvl = self.high_lvl_context_rnn(
+                jnp.concatenate([od_after, od_self], axis=2),
+                deterministic=deterministic, ln=True,
+            )
+
+        # --- position-aware OD -> OCR attention (`SDNet.py:393-403`) ----
+        if s.position_mod == "qk+":
+            x_od_ocr = self.od_ocr_attn(
+                ocr_highlvl, od_highlvl, od_mask, deterministic=deterministic
+            )
+            pos_att = self.position_attn(
+                ocr_position, od_position, od_mask, x3=od_highlvl,
+                deterministic=deterministic,
+            )
+            x_od_ocr = x_od_ocr + pos_att
+        elif s.position_mod == "cat":
+            x_od_ocr = self.od_ocr_attn(
+                jnp.concatenate([ocr_highlvl, ocr_position], axis=2),
+                jnp.concatenate([od_highlvl, od_position], axis=2),
+                od_mask, deterministic=deterministic,
+            )
+
+        if s.pos_att_merge_mod == "cat":
+            ocr_final = jnp.concatenate([ocr_highlvl, x_od_ocr], axis=2)
+        elif s.pos_att_merge_mod == "atted":
+            ocr_final = x_od_ocr
+        else:
+            ocr_final = ocr_highlvl
+
+        # --- question merge ----------------------------------------------
+        q_final = self.ques_self_attn(
+            q_highlvl, q_highlvl, q_mask, deterministic=deterministic
+        )
+        q_weights = self.ques_merger(q_final, q_mask, deterministic=deterministic)
+        q_merged = weighted_avg(q_final, q_weights)
+
+        # --- ES post_process merge (`SDNet.py:418-422`) -------------------
+        if es_post:
+            es_mid = self.ES_linear(es_emb)
+            es_final = self.ES_ocr_att(
+                es_mid, ocr_final, ocr_mask, deterministic=deterministic
+            )
+            ocr_final = jnp.concatenate([es_final, ocr_final], axis=-2)
+            ocr_mask = jnp.concatenate([es_mask, ocr_mask], axis=-1)
+
+        # --- scores --------------------------------------------------------
+        score_s = self.get_answer(
+            ocr_final, q_merged, ocr_mask,
+            es_len=s.es_ocr_len if s.use_es else None,
+            mask_flag=s.mask_score,
+            deterministic=deterministic,
+        )
+        if s.fixed_answers:
+            fixed_logits = jax.nn.softmax(
+                self.fixed_ans_classifier(q_merged), axis=-1
+            )
+            alpha = self.fixed_ocr_alpha.reshape(())
+            score_s = jnp.concatenate(
+                [alpha * fixed_logits, (1.0 - alpha) * score_s], axis=-1
+            )
+        return score_s
+
+
+def install_embeddings(
+    params: Dict[str, Any],
+    glove: Optional[Any] = None,
+    fasttext: Optional[Any] = None,
+    phoc: Optional[Any] = None,
+) -> Dict[str, Any]:
+    """Graft pretrained word-vector tables into an initialized param tree
+    (the reference assigns them in `SDNet.py:51-67`)."""
+    import jax.numpy as jnp
+
+    p = dict(params)
+    tree = dict(p["params"])
+    if glove is not None:
+        tree["glove_embed"] = {"embedding": jnp.asarray(glove)}
+    if fasttext is not None:
+        tree["fast_embed"] = {"embedding": jnp.asarray(fasttext)}
+    if phoc is not None:
+        tree["phoc_embed"] = {"embedding": jnp.asarray(phoc)}
+    p["params"] = tree
+    return p
