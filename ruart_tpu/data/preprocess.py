@@ -1,0 +1,501 @@
+"""Offline preprocessing: raw msgpack -> preprocessed msgpack + meta.
+
+Reimplements the reference pipeline (`Utils/CoQAPreprocess.py:93-477`) with
+the same on-disk schema so artifacts interoperate both ways:
+
+raw datum in  : question / question_id / file_path / image_width/height /
+                answers / <ocr_name>: [{word, pos(8 px quad), cnt?}] /
+                <od_name>: [{object, pos(4 center/size px)}]
+preprocessed  : annotated_question {word, pos_id, ent_id, wordid, ...},
+                orign_answers, per-source OCR/OD lists with normalized
+                boxes, per-candidate ANLS/ACC, synthesized n-gram
+                candidates with merged boxes, vocabulary ids
+meta          : vocab, char_vocab, glove/fasttext/phoc embedding matrices
+
+Differences from the reference, by design:
+* tokenization/tagging uses spaCy when importable, else the deterministic
+  rule-based featurizer (ruart_tpu.text.featurizer) — the model consumes
+  tags only as embedding ids;
+* per-candidate ANLS is computed with the vectorized batch Levenshtein
+  (`ruart_tpu.eval.metrics.anls_batch`) instead of a Python triple loop;
+* when no GloVe/fastText files are configured, deterministic hashed word
+  vectors stand in (documented fallback; supply real files for quality).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from collections import Counter
+from copy import deepcopy
+from typing import Any, Dict, List, Optional, Sequence
+
+import msgpack
+import numpy as np
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.core.constants import RESERVED_CHARS, RESERVED_WORDS
+from ruart_tpu.eval import metrics
+from ruart_tpu.text import featurizer
+from ruart_tpu.text.phoc import build_phoc_embedding
+
+log = logging.getLogger(__name__)
+
+
+def _try_spacy():
+    try:
+        import spacy  # noqa
+
+        return spacy.load("en_core_web_sm", disable=["parser"])
+    except Exception:
+        return None
+
+
+def annotate(text: str, nlp=None) -> Dict[str, List]:
+    """Tokenize + tag one string into the reference's 'process' schema
+    (`CoQAPreprocess.py:569-599`): word/pos_id/ent_id lists."""
+    if nlp is not None:
+        doc = nlp(featurizer.pre_proc(text.lower()))
+        words, pos_ids, ent_ids = [], [], []
+        for token in doc:
+            words.append(featurizer.normalize_text(token.text))
+            pos_ids.append(featurizer.pos_id(token.tag_))
+            ent_ids.append(featurizer.ent_id(token.ent_iob_, token.ent_type_))
+    else:
+        words, pos_ids, ent_ids = featurizer.tokenize_tag(text)
+    return {"word": words, "pos_id": pos_ids, "ent_id": ent_ids}
+
+
+def token2id_sent(
+    sent: Sequence[str], w2id: Dict[str, int], unk_id: int = 1
+) -> List[int]:
+    return [w2id.get(w, unk_id) for w in sent]
+
+
+def token2id_sent_substring_fallback(
+    sent: Sequence[str], w2id: Dict[str, int], unk_id: int = 1
+):
+    """OOV recovery for OCR garble: try len-1 and len-2 substrings before
+    falling back to UNK (`Utils/CoQAUtils.py:89-125`)."""
+    ids = []
+    for w in sent:
+        if w in w2id:
+            ids.append(w2id[w])
+            continue
+        found = None
+        wl = len(w)
+        for l in (wl - 1, wl - 2):
+            if l <= 0:
+                break
+            for i in range(wl - l + 1):
+                sub = w[i : i + l]
+                if sub in w2id:
+                    found = w2id[sub]
+                    break
+            if found is not None:
+                break
+        ids.append(found if found is not None else unk_id)
+    return ids
+
+
+def normalize_ocr_box(pos: Sequence[float], width: int, height: int) -> List[float]:
+    """8-dim pixel quad -> [0,1] normalized (`CoQAPreprocess.py:220-222`)."""
+    out = list(pos)
+    for j in range(4):
+        out[2 * j] = out[2 * j] / width
+        out[2 * j + 1] = out[2 * j + 1] / height
+    return out
+
+
+def od_center_to_quad(pos: Sequence[float], width: int, height: int) -> List[float]:
+    """OD (cx, cy, w, h) px -> normalized 4-corner quad
+    (`CoQAPreprocess.py:249-259`, including the int() half-size truncation)."""
+    cx, cy, w, h = pos
+    hw, hh = int(w / 2), int(h / 2)
+    quad = [
+        cx - hw, cy - hh, cx + hw, cy - hh,
+        cx + hw, cy + hh, cx - hw, cy + hh,
+    ]
+    for j in range(4):
+        quad[2 * j] = quad[2 * j] / width
+        quad[2 * j + 1] = quad[2 * j + 1] / height
+    return quad
+
+
+def merge_quads(a: Sequence[float], b: Sequence[float]) -> List[float]:
+    """Bounding merge of two normalized quads: min over the left/top corner
+    coords (idx 0,1,3,4 per reference quirk) and max elsewhere
+    (`CoQAPreprocess.py:395-403`)."""
+    out = list(a)
+    for i in range(8):
+        if i in (0, 1, 3, 4):
+            out[i] = min(out[i], b[i])
+        else:
+            out[i] = max(out[i], b[i])
+    return out
+
+
+def hashed_vector(word: str, dim: int) -> np.ndarray:
+    """Deterministic pseudo word vector (fallback when no embedding files
+    are available in the environment)."""
+    seed = int.from_bytes(hashlib.sha256(word.encode()).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, dim).astype(np.float32)
+
+
+def build_glove_embedding(
+    embed_file: Optional[str], vocab: Sequence[str], dim: int
+) -> np.ndarray:
+    """GloVe-text-file embedding matrix; unmatched rows uniform(-1,1), row 0
+    zero (`CoQAUtils.py:34-50`). Hashed fallback without a file."""
+    rng = np.random.RandomState(0)
+    emb = rng.uniform(-1, 1, (len(vocab), dim)).astype(np.float32)
+    if embed_file and os.path.isfile(embed_file):
+        w2id = {w: i for i, w in enumerate(vocab)}
+        with open(embed_file, encoding="utf8") as f:
+            for line in f:
+                elems = line.split()
+                token = featurizer.normalize_text("".join(elems[0:-dim]))
+                if token in w2id:
+                    emb[w2id[token]] = [float(v) for v in elems[-dim:]]
+    else:
+        for i, w in enumerate(vocab):
+            emb[i] = hashed_vector(w, dim)
+    emb[0] = 0.0
+    return emb
+
+
+def build_fasttext_embedding(
+    model_file: Optional[str], vocab: Sequence[str], dim: int
+) -> np.ndarray:
+    """fastText embedding matrix (`CoQAUtils.py:52-66`); hashed fallback when
+    the fasttext lib/model is unavailable."""
+    emb = np.zeros((len(vocab), dim), dtype=np.float32)
+    ft = None
+    if model_file and os.path.isfile(model_file):
+        try:
+            from fasttext import load_model
+
+            ft = load_model(model_file)
+        except Exception:
+            log.warning("fasttext unavailable; using hashed fallback vectors")
+    for i, w in enumerate(vocab):
+        emb[i] = ft.get_word_vector(w) if ft is not None else hashed_vector(w, dim)
+    emb[0] = 0.0
+    return emb
+
+
+class Preprocessor:
+    """Drives the offline pipeline for all configured splits
+    (reference `CoQAPreprocess.__init__:46-91`)."""
+
+    def __init__(self, cfg: Config, nlp=None):
+        self.cfg = cfg
+        self.opt = cfg.opt
+        self.feature_folder = self.opt["FEATURE_FOLDER"]
+        self.n_gram = int(self.opt.get("n_gram", 2))
+        self.build_test_vocab = "BuildTestVocabulary" in self.opt
+        self.nlp = nlp if nlp is not None else _try_spacy()
+        labels = str(self.opt["Task"]).split(",")
+        if "train" in labels:
+            labels.remove("train")
+            labels = ["train"] + labels
+        self.dataset_labels = labels
+        self.train_vocab: Optional[List[str]] = None
+        self.train_char_vocab: Optional[List[str]] = None
+
+    # -- public API ------------------------------------------------------
+    def ensure_preprocessed(self):
+        missing = [
+            l
+            for l in self.dataset_labels
+            if not os.path.exists(self._out_path(l))
+        ]
+        if not missing:
+            return
+        os.makedirs(self.feature_folder, exist_ok=True)
+        if self.build_test_vocab:
+            self.preprocess_merged()
+        else:
+            for label in self.dataset_labels:
+                self.preprocess(label)
+
+    def load_data(self):
+        """meta msgpack -> (vocab, char_vocab, {name: np matrix}); also
+        fills vocab_size/vocab_dim into the conf (`CoQAPreprocess.py:481-502`)."""
+        meta_path = os.path.join(self.feature_folder, "train_meta.msgpack")
+        with open(meta_path, "rb") as f:
+            meta = msgpack.unpack(f, raw=False, strict_map_key=False)
+        emb = {}
+        for key, out in (
+            ("glove_embedding", "glove_embedding"),
+            ("fast_embedding", "fast_embedding"),
+            ("phoc_embedding", "phoc_embedding"),
+        ):
+            if key in meta:
+                emb[out] = np.asarray(meta[key], dtype=np.float32)
+                self.opt["vocab_size"] = emb[out].shape[0]
+        self.opt["char_vocab_size"] = len(meta["char_vocab"])
+        if "vocab_size" in self.opt:
+            self.cfg.opt["vocab_size"] = self.opt["vocab_size"]
+        return meta["vocab"], meta["char_vocab"], emb
+
+    # -- internals -------------------------------------------------------
+    def _out_path(self, label: str) -> str:
+        return os.path.join(self.feature_folder, f"{label}-preprocessed.msgpack")
+
+    def _raw_path(self, label: str) -> str:
+        return os.path.join(self.opt["datadir"], self.opt[f"{label}_FILE"])
+
+    def _load_raw(self, label: str):
+        with open(self._raw_path(label), "rb") as f:
+            return msgpack.unpack(f, raw=False, strict_map_key=False)
+
+    def preprocess_merged(self):
+        """BuildTestVocabulary mode: process all splits together so every
+        split shares the train vocabulary (`CoQAPreprocess.py:105-123,
+        456-466`)."""
+        datasets = [self._load_raw(l) for l in self.dataset_labels]
+        lens = [len(d["data"]) for d in datasets]
+        merged = [d for ds in datasets for d in ds["data"]]
+        data = self._process_data(merged)
+        self._build_and_save_meta(data)
+        self._assign_ids(data)
+        start = 0
+        for label, n in zip(self.dataset_labels, lens):
+            with open(self._out_path(label), "wb") as f:
+                msgpack.pack({"data": data[start : start + n]}, f)
+            start += n
+
+    def preprocess(self, label: str):
+        dataset = self._load_raw(label)
+        data = self._process_data(dataset["data"])
+        if label == "train":
+            self._build_and_save_meta(data)
+        self._assign_ids(data)
+        with open(self._out_path(label), "wb") as f:
+            msgpack.pack({"data": data}, f)
+
+    def _names(self):
+        ocr_names = str(
+            self.opt.get("preprocess_ocr_name", "OCR")
+        ).split(",")
+        od_names = str(self.opt.get("preprocess_od_name", "OD")).split(",")
+        gram_names = [
+            t + f"_gram{self.n_gram}"
+            for t in ocr_names
+            if t != "distractors" and "ES_ocr" not in t
+        ]
+        return ocr_names, od_names, gram_names
+
+    def _process_data(self, raw: List[dict]) -> List[dict]:
+        ocr_names, od_names, _ = self._names()
+        # dedupe strings across the corpus for one-shot annotation
+        ocr_dict: Dict[str, int] = {}
+        od_dict: Dict[str, int] = {}
+        ocr_strs: List[str] = []
+        od_strs: List[str] = []
+        data = []
+        for datum in raw:
+            W, H = datum["image_width"], datum["image_height"]
+            out = {
+                "question": datum["question"],
+                "filename": datum.get("file_path", datum.get("filename", "")),
+                "question_id": datum["question_id"],
+                "orign_answers": datum.get("answers", []),
+            }
+            for name in ocr_names:
+                out[name] = []
+                for item in datum.get(name, []):
+                    word = item["word"].lower()
+                    if word not in ocr_dict:
+                        ocr_dict[word] = len(ocr_strs)
+                        ocr_strs.append(word)
+                    pos = item.get("pos", [0] * 8)
+                    entry = {
+                        "word": word,
+                        "pos": normalize_ocr_box(pos, W, H),
+                        "original": item["word"],
+                        "ANLS": item.get("ANLS", 0),
+                        "ACC": item.get("ACC", 0),
+                    }
+                    if "cnt" in item:
+                        entry["cnt"] = item["cnt"]
+                    if "idx" in item:
+                        entry["idx"] = item["idx"]
+                    out[name].append(entry)
+            for name in od_names:
+                out[name] = []
+                for item in datum.get(name, []):
+                    word = item["object"].lower()
+                    if word not in od_dict:
+                        od_dict[word] = len(od_strs)
+                        od_strs.append(word)
+                    out[name].append(
+                        {
+                            "object": word,
+                            "pos": od_center_to_quad(item["pos"], W, H),
+                            "original": item["object"],
+                        }
+                    )
+            data.append(out)
+
+        ocr_ann = [annotate(s, self.nlp) for s in ocr_strs]
+        od_ann = [annotate(s, self.nlp) for s in od_strs]
+        for out in data:
+            out["annotated_question"] = annotate(out["question"], self.nlp)
+            out["answers"] = [annotate(a, self.nlp) for a in out["orign_answers"]]
+            for name in ocr_names:
+                for item in out[name]:
+                    item["word"] = deepcopy(ocr_ann[ocr_dict[item["word"]]])
+            for name in od_names:
+                for item in out[name]:
+                    item["object"] = deepcopy(od_ann[od_dict[item["object"]]])
+        return data
+
+    def _build_vocab(self, data: List[dict]) -> List[str]:
+        """Frequency-sorted vocab: answer/question tokens first, then the
+        rest, reserved ids 0..4 (`CoQAPreprocess.py:503-537`). GLOVE mode
+        filters by the embedding file's vocabulary when available."""
+        ocr_names, od_names, _ = self._names()
+        counter_qa: Counter = Counter()
+        counter_c: Counter = Counter()
+        for d in data:
+            counter_c.update(d["annotated_question"]["word"])
+            for a in d["answers"]:
+                counter_qa.update(a["word"])
+            for name in ocr_names:
+                for item in d[name]:
+                    counter_c.update(item["word"]["word"])
+            for name in od_names:
+                for item in d[name]:
+                    counter_c.update(item["object"]["word"])
+        counter = counter_c + counter_qa
+
+        allowed = None
+        if "GLOVE" in self.opt and "FastText" not in self.opt:
+            glove_file = os.path.join(
+                self.opt["datadir"], str(self.opt.get("INIT_WORD_EMBEDDING_FILE", ""))
+            )
+            if os.path.exists(glove_file) and os.path.isfile(glove_file):
+                allowed = set()
+                with open(glove_file, encoding="utf-8") as f:
+                    for line in f:
+                        allowed.add(
+                            featurizer.normalize_text(
+                                "".join(line.split()[0:-300])
+                            )
+                        )
+
+        def keep(t):
+            return allowed is None or t in allowed
+
+        vocab = sorted(
+            [t for t in counter_qa if keep(t)], key=counter_qa.get, reverse=True
+        )
+        vocab += sorted(
+            [t for t in counter_c.keys() - counter_qa.keys() if keep(t)],
+            key=counter.get,
+            reverse=True,
+        )
+        return RESERVED_WORDS + vocab
+
+    def _build_char_vocab(self, vocab: Sequence[str]) -> List[str]:
+        counter = Counter(c for w in vocab for c in w)
+        chars = [c for c, cnt in counter.items() if cnt > 3]
+        return RESERVED_CHARS + chars
+
+    def _build_and_save_meta(self, data: List[dict]):
+        self.train_vocab = self._build_vocab(data)
+        self.train_char_vocab = self._build_char_vocab(self.train_vocab)
+        meta: Dict[str, Any] = {
+            "vocab": self.train_vocab,
+            "char_vocab": self.train_char_vocab,
+        }
+        if "FastText" in self.opt:
+            model_file = os.path.join(
+                self.opt["datadir"], str(self.opt.get("fasttext_model", ""))
+            )
+            meta["fast_embedding"] = build_fasttext_embedding(
+                model_file, self.train_vocab, int(self.opt.get("fast_dim", 300))
+            ).tolist()
+        if "GLOVE" in self.opt:
+            glove_file = os.path.join(
+                self.opt["datadir"], str(self.opt.get("INIT_WORD_EMBEDDING_FILE", ""))
+            )
+            meta["glove_embedding"] = build_glove_embedding(
+                glove_file, self.train_vocab, int(self.opt.get("glove_dim", 300))
+            ).tolist()
+        if "PHOC" in self.opt:
+            meta["phoc_embedding"] = build_phoc_embedding(self.train_vocab).tolist()
+        path = os.path.join(self.feature_folder, "train_meta.msgpack")
+        with open(path, "wb") as f:
+            msgpack.pack(meta, f)
+
+    def _assign_ids(self, data: List[dict]):
+        """wordid assignment + n-gram candidate synthesis
+        (`CoQAPreprocess.py:355-416`)."""
+        assert self.train_vocab is not None, "meta must be built before ids"
+        w2id = {w: i for i, w in enumerate(self.train_vocab)}
+        ocr_names, od_names, gram_names = self._names()
+        for d in data:
+            d["annotated_question"]["wordid"] = token2id_sent(
+                d["annotated_question"]["word"], w2id
+            )
+            for name in ocr_names:
+                for item in d[name]:
+                    item["word"]["wordid"] = token2id_sent(item["word"]["word"], w2id)
+            for name in od_names:
+                for item in d[name]:
+                    item["object"]["wordid"] = token2id_sent(
+                        item["object"]["word"], w2id
+                    )
+            answers = d["orign_answers"]
+            for gram_name in gram_names:
+                d[gram_name] = []
+                src_name = gram_name[: -len(f"_gram{self.n_gram}")]
+                src = d[src_name]
+                n = self.n_gram
+                cands = []
+                for i in range(len(src)):
+                    if i + n > len(src):
+                        break
+                    text = " ".join(t["original"] for t in src[i : i + n]).lower()
+                    word: Dict[str, list] = {}
+                    pos = None
+                    for j in range(i, i + n):
+                        pos = (
+                            deepcopy(src[j]["pos"])
+                            if pos is None
+                            else merge_quads(pos, src[j]["pos"])
+                        )
+                        for k, v in src[j]["word"].items():
+                            word.setdefault(k, [])
+                            word[k] = word[k] + deepcopy(v)
+                    cands.append(
+                        {"word": word, "pos": pos, "original": text}
+                    )
+                texts = [c["original"] for c in cands]
+                if answers and texts:
+                    anls = metrics.anls_batch(answers, texts)
+                    acc = metrics.acc_batch(answers, texts)
+                else:
+                    anls = np.zeros(len(texts))
+                    acc = np.zeros(len(texts))
+                for c, a, ac in zip(cands, anls, acc):
+                    c["ANLS"] = float(a)
+                    c["ACC"] = float(ac)
+                d[gram_name] = cands
+            # per-candidate scores for the base OCR sources too
+            if answers:
+                for name in ocr_names:
+                    items = d[name]
+                    if not items:
+                        continue
+                    texts = [t["original"].lower() for t in items]
+                    anls = metrics.anls_batch(answers, texts)
+                    acc = metrics.acc_batch(answers, texts)
+                    for t, a, ac in zip(items, anls, acc):
+                        t["ANLS"] = float(a)
+                        t["ACC"] = float(ac)

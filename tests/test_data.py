@@ -1,0 +1,163 @@
+import os
+
+import msgpack
+import numpy as np
+import pytest
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.dataset import VQADataset
+from ruart_tpu.data.pipeline import batch_iterator, prefetch
+from ruart_tpu.data.preprocess import Preprocessor
+from ruart_tpu.data.sampler import VQASampler
+from ruart_tpu.data.synthetic import make_synthetic_raw_dataset
+from ruart_tpu.text.wordpiece import WordPieceTokenizer, build_demo_vocab
+
+from tests.test_fusion_model import TINY_OVERRIDES
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory, shipped_conf_opt):
+    root = tmp_path_factory.mktemp("data")
+    for label, n, seed in (("train", 30, 0), ("val", 10, 1), ("test", 8, 2)):
+        raw = make_synthetic_raw_dataset(n, seed=seed, with_answers=label != "test")
+        with open(root / f"{label}.msgpack", "wb") as f:
+            msgpack.pack(raw, f)
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(
+        {
+            "Task": "train,val,test",
+            "datadir": str(root),
+            "FEATURE_FOLDER": str(root / "features"),
+            "train_FILE": "train.msgpack",
+            "val_FILE": "val.msgpack",
+            "test_FILE": "test.msgpack",
+            "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+            "preprocess_od_name": "OD_bottom-up",
+        }
+    )
+    cfg = Config(opt)
+    pre = Preprocessor(cfg)
+    pre.ensure_preprocessed()
+    vocab, char_vocab, emb = pre.load_data()
+    return cfg, pre, vocab, char_vocab, emb, root
+
+
+def _load_split(cfg, label):
+    path = os.path.join(cfg.opt["FEATURE_FOLDER"], f"{label}-preprocessed.msgpack")
+    with open(path, "rb") as f:
+        return msgpack.unpack(f, raw=False, strict_map_key=False)
+
+
+def test_preprocess_outputs(pipeline_env):
+    cfg, pre, vocab, char_vocab, emb, root = pipeline_env
+    assert vocab[:5] == ["<PAD>", "<UNK>", "<Q>", "<OCR>", "<OD>"]
+    assert "glove_embedding" in emb and "fast_embedding" in emb
+    assert emb["glove_embedding"].shape[0] == len(vocab)
+    assert np.all(emb["glove_embedding"][0] == 0)
+    train = _load_split(cfg, "train")
+    assert len(train["data"]) == 30
+    d = train["data"][0]
+    assert "annotated_question" in d and "wordid" in d["annotated_question"]
+    assert "ocr_PMTD_ASTER_gram2" in d
+    # n-gram candidates have merged boxes + ANLS/ACC
+    if d["ocr_PMTD_ASTER_gram2"]:
+        g = d["ocr_PMTD_ASTER_gram2"][0]
+        assert "ANLS" in g and len(g["pos"]) == 8
+        assert len(g["word"]["wordid"]) >= 2
+    # box normalization
+    for item in d["ocr_PMTD_ASTER"]:
+        assert all(0 <= v <= 1.001 for v in item["pos"])
+
+
+def test_vocab_shared_across_splits(pipeline_env):
+    cfg, pre, vocab, *_ = pipeline_env
+    w2id = {w: i for i, w in enumerate(vocab)}
+    test = _load_split(cfg, "test")
+    for d in test["data"][:3]:
+        for wid, w in zip(
+            d["annotated_question"]["wordid"], d["annotated_question"]["word"]
+        ):
+            if w in w2id:
+                assert wid == w2id[w]
+
+
+def test_dataset_and_collate_shapes(pipeline_env):
+    cfg, pre, vocab, *_ = pipeline_env
+    tok = WordPieceTokenizer(build_demo_vocab())
+    train = _load_split(cfg, "train")
+    ds = VQADataset(train["data"], cfg, mode="train", tokenizer=tok)
+    assert len(ds) > 0
+    item = ds[0]
+    # ES candidates first, sentinel last
+    assert item["extra_info"]["ocr_list"][-1] == "<OCR>"
+    assert item["gt"] is not None
+
+    coll = Collator(cfg)
+    q, ocr, od, gt, extra = coll([ds[i] for i in range(4)])
+    B, N, L = 4, cfg.max_ocr_num, cfg.max_ocr_len
+    assert ocr["fasttext"].shape == (B, N, L)
+    assert ocr["bert"].shape == (B, N, cfg.max_ocr_bert_len)
+    assert ocr["bert_offsets"].shape == (B, N, L, 2)
+    assert ocr["position"].shape == (B, N, 8)
+    assert ocr["num"].max() <= N and ocr["num"].min() >= 1
+    assert q["glove"].shape == (B, cfg.max_q_len)
+    assert gt.shape == (B, cfg.dims.num_scores)
+    # mask semantics: id != 0
+    assert ((ocr["fasttext"] != 0).sum(-1) >= ocr["len"]).all()
+    # sentinel <OCR> word id is 3
+    for b in range(B):
+        n = ocr["num"][b] - 1
+        assert ocr["fasttext"][b, n, 0] == 3
+
+
+def test_label_threshold_policy(pipeline_env):
+    cfg, pre, vocab, *_ = pipeline_env
+    tok = WordPieceTokenizer(build_demo_vocab())
+    train = _load_split(cfg, "train")
+    ds = VQADataset(train["data"], cfg, mode="train", tokenizer=tok)
+    coll = Collator(cfg)
+    q, ocr, od, gt, extra = coll([ds[i] for i in range(len(ds))])
+    # lable_all_with_threshold: every label is 0 or >= 0.5
+    body = gt[:, :-1]
+    assert ((body == 0) | (body >= 0.5)).all()
+    # no-answer bit set iff max candidate score < 0.1
+    for b in range(gt.shape[0]):
+        assert gt[b, -1] == (1.0 if body[b].max() < 0.1 else 0.0)
+
+
+def test_sampler_semantics():
+    s = VQASampler(10, 4, train=True, epoch=2)
+    batches = list(s)
+    assert len(s) == 5  # 10*2/4
+    assert len(batches) == 5
+    assert all(len(b) == 4 for b in batches)
+    # determinism
+    s2 = VQASampler(10, 4, train=True, epoch=2)
+    assert list(s2) == batches
+    # resume skips the first batch_st batches
+    s3 = VQASampler(10, 4, train=True, epoch=2, batch_st=2)
+    assert list(s3) == batches[2:]
+    # eval: ceil coverage, sequential
+    se = VQASampler(10, 4, train=False)
+    eb = list(se)
+    assert len(eb) == 3
+    assert eb[0] == [0, 1, 2, 3]
+    assert eb[2] == [8, 9, 0, 1]  # wrap-around fill
+
+
+def test_batch_iterator_and_prefetch(pipeline_env):
+    cfg, pre, vocab, *_ = pipeline_env
+    tok = WordPieceTokenizer(build_demo_vocab())
+    train = _load_split(cfg, "train")
+    ds = VQADataset(train["data"], cfg, mode="train", tokenizer=tok)
+    sampler = VQASampler(len(ds), 4, train=True, epoch=1)
+    coll = Collator(cfg)
+    n = 0
+    for batch in prefetch(batch_iterator(ds, sampler, coll, num_workers=2), size=2):
+        q, ocr, od, gt, extra = batch
+        assert gt is not None
+        n += 1
+    assert n == len(sampler)
