@@ -1,0 +1,93 @@
+"""Batched evaluation loop + submission writer.
+
+Equivalent of `SDNetTrainer.evaluate:128-176`: full-dataset batched
+inference (the sampler wraps the tail so every device batch is full), host
+decode, ANLS/ACC aggregation, pad-tail trimming and ``submission.json``
+writing for test mode (`SDNetTrainer.py:148-161`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.dataset import VQADataset
+from ruart_tpu.data.pipeline import batch_iterator, prefetch
+from ruart_tpu.data.sampler import VQASampler
+from ruart_tpu.eval.decoder import decode_batch
+
+log = logging.getLogger(__name__)
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    dataset: VQADataset,
+    cfg: Config,
+    collator: Optional[Collator] = None,
+    batch_size: Optional[int] = None,
+    fixed_answers: Optional[Sequence[str]] = None,
+    device_put: Optional[Callable] = None,
+    num_workers: int = 2,
+) -> Dict[str, Any]:
+    """Returns {'loss', 'ANLS', 'ACC', 'res', 'save_res', 'n'} with metrics
+    normalized by dataset size (`SDNetTrainer.py:145-147`)."""
+    collator = collator or Collator(cfg)
+    batch_size = batch_size or cfg.batch_size
+    sampler = VQASampler(len(dataset), batch_size, train=False)
+    yesno = "label_yesno" in cfg.opt
+    label_no_answer = "label_no_answer" in cfg.opt
+
+    loss_sum = 0.0
+    anls_sum = acc_sum = 0.0
+    res: list = []
+    save_res: list = []
+    n_batches = 0
+    it = batch_iterator(dataset, sampler, collator, num_workers=num_workers)
+    for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=device_put):
+        scores, loss = eval_step(params, q, ocr, od, gt)
+        probs = np.asarray(scores)
+        _res, _save, _anls, _acc = decode_batch(
+            probs, extra, np.asarray(ocr["num"]),
+            fixed_answers, yesno, label_no_answer,
+        )
+        res.extend(_res)
+        save_res.extend(_save)
+        anls_sum += _anls
+        acc_sum += _acc
+        loss_sum += float(loss)
+        n_batches += 1
+
+    n = len(dataset)
+    return {
+        "loss": loss_sum / max(n_batches, 1),
+        "ANLS": anls_sum / max(n, 1),
+        "ACC": acc_sum / max(n, 1),
+        "res": res,
+        "save_res": save_res,
+        "n": n,
+    }
+
+
+def trim_pad_tail(res: list, n: int, batch_size: int) -> list:
+    """Drop wrap-around rows from the final batch (`SDNetTrainer.py:150-153`)."""
+    end = n % batch_size
+    if end != 0:
+        res = res[: -(batch_size - end)]
+    return res
+
+
+def write_submission(res: list, save_folder: str, n: int, batch_size: int) -> str:
+    res = trim_pad_tail(res, n, batch_size)
+    path = os.path.join(save_folder, "submission.json")
+    os.makedirs(save_folder, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(res, f, indent=2)
+    log.info("submission is saved in %s (%d predictions)", path, len(res))
+    return path

@@ -1,0 +1,352 @@
+"""Trainer: end-to-end orchestration (train / eval / test-inference).
+
+The TPU-native equivalent of `Models/SDNetTrainer.py` + `BaseTrainer.py`:
+run-folder allocation (``conf~/run_<N>``), conf snapshotting, preprocessing
+bootstrap, model/optimizer setup, the training loop with its 1500-batch
+eval cadence and 30-batch log cadence, best-ANLS/ACC checkpointing, exact
+sampler-offset resume, and the parity-gated ``predict_for_test`` path that
+writes ``submission.json``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import msgpack
+import numpy as np
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.dataset import VQADataset
+from ruart_tpu.data.pipeline import batch_iterator, device_put_batch, prefetch
+from ruart_tpu.data.preprocess import Preprocessor
+from ruart_tpu.eval.evaluator import evaluate, write_submission
+from ruart_tpu.data.sampler import VQASampler
+from ruart_tpu.models.bert.config import BertConfig
+from ruart_tpu.models.fusion.model import RUArtModel, install_embeddings
+from ruart_tpu.models.fusion.spec import ModelSpec
+from ruart_tpu.text.phoc import build_phoc_batch
+from ruart_tpu.text.wordpiece import WordPieceTokenizer, build_demo_vocab
+from ruart_tpu.train import checkpoint as ckpt
+from ruart_tpu.train.loss import make_loss_fn
+from ruart_tpu.train.optim import make_optimizer, make_row_pinner
+from ruart_tpu.train.train_step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from ruart_tpu.utils.meters import AverageMeter
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, bert_config: Optional[BertConfig] = None):
+        self.cfg = cfg
+        self.opt = cfg.opt
+        self.opt.setdefault("datadir", ".")
+        self.opt["FEATURE_FOLDER"] = os.path.join(
+            self.opt["datadir"], "./source/data/", str(self.opt.get("source_dir", "")), ""
+        ) if "FEATURE_FOLDER" not in self.opt else self.opt["FEATURE_FOLDER"]
+        self.preproc = Preprocessor(cfg)
+        self.bert_config = bert_config
+        self.save_folder: Optional[str] = None
+        self.train_loss = AverageMeter()
+        self.updates = 0
+        self.best_anls = -1.0
+        self.best_acc = -1.0
+        self.best_anls_batch = -1
+        self.best_acc_batch = -1
+        self._load_fixed_answers()
+
+    # -- folders (`BaseTrainer.py:48-69`) --------------------------------
+    def get_save_folder(self, is_train: bool) -> str:
+        if is_train:
+            runid = 1
+            while True:
+                folder = os.path.join(self.opt["datadir"], "conf~", f"run_{runid}")
+                if not os.path.exists(folder):
+                    os.makedirs(folder)
+                    self.save_folder = folder
+                    log.info("Saving logs, model and evaluation in %s", folder)
+                    return folder
+                runid += 1
+        else:
+            p = "/".join(str(self.opt["MODEL_PATH"]).split("/")[:2])
+            self.save_folder = os.path.join(self.opt["datadir"], p)
+            os.makedirs(self.save_folder, exist_ok=True)
+            return self.save_folder
+
+    def save_conf_copy(self):
+        conf_file = self.opt.get("confFile")
+        if conf_file and os.path.isfile(conf_file) and self.save_folder:
+            shutil.copyfile(conf_file, os.path.join(self.save_folder, "conf_copy"))
+
+    # -- fixed answers (`SDNetTrainer.py:253-288`) -----------------------
+    def _load_fixed_answers(self):
+        self.fixed_answers_entry = None
+        self.fixed_answers = None
+        if "fixed_answers" not in self.opt:
+            return
+        folder = self.opt["fixed_answers_folder"]
+        with open(os.path.join(folder, "fixed_answers_4000.txt")) as f:
+            fixed = [line.strip().lower() for line in f if line.strip()]
+        label_path = os.path.join(
+            folder, "TRAIN_VAL_fixed_answers_label.msgpack"
+        )
+        labels = {}
+        if os.path.exists(label_path):
+            with open(label_path, "rb") as f:
+                labels = msgpack.unpack(f, raw=False, strict_map_key=False)
+        phoc = None
+        if "phoc" in self.opt.get("ocr_embedding", ""):
+            phoc = build_phoc_batch(fixed)
+        self.fixed_answers = fixed
+        self.fixed_answers_entry = {
+            "fixed_answers": fixed,
+            "fixed_answers_len": len(fixed),
+            "fixed_answers_label": labels,
+            "fixed_answers_phoc": phoc,
+        }
+        self.opt["fixed_answers_len"] = len(fixed)
+
+    # -- model setup (`SDNetTrainer.setup_model:290-328`) ----------------
+    def setup_model(self, embeddings: Dict[str, np.ndarray]):
+        cfg = self.cfg
+
+        # tokenizer: real BERT vocab when configured, demo vocab otherwise
+        tok_file = self.opt.get("BERT_tokenizer_file")
+        if tok_file:
+            tok_path = os.path.join(self.opt["datadir"], str(tok_file))
+            if os.path.isfile(tok_path):
+                self.tokenizer = WordPieceTokenizer.from_file(tok_path)
+            else:
+                log.warning("BERT vocab %s missing; using demo vocab", tok_path)
+                self.tokenizer = WordPieceTokenizer(build_demo_vocab())
+        else:
+            self.tokenizer = WordPieceTokenizer(build_demo_vocab())
+
+        # the BERT embedding table must cover every tokenizer id (an OOB
+        # gather silently fills NaN under XLA)
+        if self.bert_config is not None and self.bert_config.vocab_size < len(
+            self.tokenizer.vocab
+        ):
+            import dataclasses
+
+            self.bert_config = dataclasses.replace(
+                self.bert_config, vocab_size=len(self.tokenizer.vocab)
+            )
+
+        self.spec = ModelSpec.from_config(cfg, self.bert_config)
+        self.model = RUArtModel(self.spec)
+        self.collator = Collator(cfg)
+
+        from ruart_tpu.data.synthetic import make_synthetic_batch
+
+        q, ocr, od, _ = make_synthetic_batch(self.spec, cfg, batch_size=1)
+        params = self.model.init(
+            jax.random.PRNGKey(cfg.seed),
+            *(jax.tree.map(lambda x: x, t) for t in (q, ocr, od)),
+        )
+        params = install_embeddings(
+            params,
+            glove=embeddings.get("glove_embedding"),
+            fasttext=embeddings.get("fast_embedding"),
+            phoc=embeddings.get("phoc_embedding"),
+        )
+        # load pretrained BERT weights when the conf points at them
+        bert_dir = self.opt.get("BERT_model_file")
+        if bert_dir:
+            bert_path = os.path.join(self.opt["datadir"], str(bert_dir))
+            cfg_json = os.path.join(bert_path, "bert_config.json")
+            bin_path = os.path.join(bert_path, "pytorch_model.bin")
+            if os.path.isfile(cfg_json) and os.path.isfile(bin_path):
+                from ruart_tpu.models.bert.convert import load_bert_params
+
+                _, bert_params = load_bert_params(bert_path)
+                tree = dict(params["params"])
+                tree["Bert"] = bert_params["params"]
+                params = {**params, "params": tree}
+                log.info("Loaded pretrained BERT from %s", bert_path)
+
+        tune_partial = (
+            int(self.opt["tune_partial"]) if "TUNE_PARTIAL" in self.opt else None
+        )
+        self.tx = make_optimizer(
+            str(self.opt.get("optimizer", "#")),
+            float(self.opt["lr"]) if "lr" in self.opt else None,
+            float(self.opt.get("grad_clipping", 10)),
+            params,
+            self.spec,
+            tune_partial is not None,
+        )
+        self.loss_fn = make_loss_fn(str(self.opt.get("loss", "BCE_D1")))
+        row_pinner = make_row_pinner(params, self.spec, tune_partial)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_fn, row_pinner
+        )
+        self.eval_step = make_eval_step(self.model, self.loss_fn)
+        self.state = init_train_state(params, self.tx, cfg.seed)
+        self.updates = 0
+
+    # -- checkpoint plumbing --------------------------------------------
+    def save(self, filename: str, epoch: int = 0):
+        meta = {
+            "updates": self.updates,
+            "train_loss": self.train_loss.state_dict(),
+            "epoch": epoch,
+            "config": {k: v for k, v in self.opt.items() if _json_safe(v)},
+        }
+        ckpt.save_checkpoint(
+            filename, self.state.params, ckpt.opt_state_leaves(self.state.opt_state),
+            meta,
+        )
+
+    def save_for_predict(self, filename: str):
+        ckpt.save_for_predict(filename, self.state.params, {"updates": self.updates})
+
+    def load_model(self, path: str):
+        params, opt_leaves, meta = ckpt.load_checkpoint(path, self.state.params)
+        opt_state = ckpt.restore_opt_state(self.state.opt_state, opt_leaves)
+        self.state = TrainState(
+            params=jax.tree.map(jax.numpy.asarray, params),
+            opt_state=opt_state,
+            step=self.state.step,
+            rng=self.state.rng,
+        )
+        self.updates = int(meta.get("updates", 0))
+        if "train_loss" in meta:
+            self.train_loss.load_state_dict(meta["train_loss"])
+        log.info("Loading finished %s", path)
+
+    # -- data loading ----------------------------------------------------
+    def _load_split(self, label: str):
+        path = os.path.join(
+            self.opt["FEATURE_FOLDER"], f"{label}-preprocessed.msgpack"
+        )
+        with open(path, "rb") as f:
+            return msgpack.unpack(f, raw=False, strict_map_key=False)
+
+    def _dataset(self, label_data, mode: str) -> VQADataset:
+        return VQADataset(
+            label_data["data"], self.cfg, mode=mode, tokenizer=self.tokenizer,
+            fixed_answers_entry=self.fixed_answers_entry,
+        )
+
+    # -- evaluation (`SDNetTrainer.evaluate:128-176`) --------------------
+    def run_eval(self, dataset: VQADataset, batch_i: int, mode: str = "dev"):
+        result = evaluate(
+            self.eval_step, self.state.params, dataset, self.cfg,
+            self.collator, fixed_answers=self.fixed_answers,
+        )
+        if mode == "test":
+            write_submission(
+                result["res"], self.save_folder, result["n"], self.cfg.batch_size
+            )
+            return result
+        if mode == "dev" and self.save_folder:
+            import json
+
+            with open(os.path.join(self.save_folder, "save_res_last.json"), "w") as f:
+                json.dump(result["save_res"], f, indent=2)
+            if result["ANLS"] > self.best_anls:
+                self.best_anls = result["ANLS"]
+                self.best_anls_batch = batch_i
+                self.save_for_predict(
+                    os.path.join(self.save_folder, "ANLS_best_model.ckpt")
+                )
+            if result["ACC"] > self.best_acc:
+                self.best_acc = result["ACC"]
+                self.best_acc_batch = batch_i
+                self.save_for_predict(
+                    os.path.join(self.save_folder, "ACC_best_model.ckpt")
+                )
+        log.info(
+            "Dataset: %s Batch: %7d ANLS: %.3f Best ANLS: %.3f Batch: %d "
+            "ACC: %.3f Best ACC: %.3f Batch: %d",
+            mode, batch_i, result["ANLS"], self.best_anls, self.best_anls_batch,
+            result["ACC"], self.best_acc, self.best_acc_batch,
+        )
+        return result
+
+    # -- training loop (`SDNetTrainer.train:52-126`) ---------------------
+    def train(
+        self,
+        eval_every: int = 1500,
+        log_every: int = 30,
+    ):
+        self.get_save_folder(is_train=True)
+        self.save_conf_copy()
+        self.preproc.ensure_preprocessed()
+        vocab, char_vocab, embeddings = self.preproc.load_data()
+        self.vocab = vocab
+        self.setup_model(embeddings)
+
+        if "RESUME" in self.opt and "MODEL_PATH" in self.opt:
+            model_path = os.path.join(self.opt["datadir"], self.opt["MODEL_PATH"])
+            if os.path.exists(model_path):
+                self.load_model(model_path)
+
+        train_raw = self._load_split("train")
+        val_raw = self._load_split("val")
+        train_data = self._dataset(train_raw, "train")
+        val_data = self._dataset(val_raw, "dev")
+
+        batch_st = int(self.opt.get("batch_st", 0))
+        sampler = VQASampler(
+            len(train_data), self.cfg.batch_size, train=True,
+            max_batch_number=int(self.opt.get("max_batch_num", 0)) or None,
+            batch_st=batch_st,
+            epoch=self.opt.get("epoch"),
+        )
+        it = batch_iterator(
+            train_data, sampler, self.collator,
+            num_workers=int(self.opt.get("num_worker", 0)),
+        )
+        start = time.time()
+        batch_i = batch_st - 1
+        for q, ocr, od, gt, extra in prefetch(it, size=2):
+            batch_i += 1
+            if batch_i % eval_every == 0:
+                self.run_eval(val_data, batch_i)
+            self.state, loss = self.train_step(self.state, q, ocr, od, gt)
+            self.updates += 1
+            loss_val = float(loss)
+            if not np.isfinite(loss_val):
+                raise FloatingPointError(f"loss is not finite at batch {batch_i}")
+            self.train_loss.update(loss_val, 1)
+            if batch_i % log_every == 0:
+                done = batch_i - batch_st + 1
+                rate = (time.time() - start) / max(done, 1)
+                remaining = rate * (len(sampler) - batch_st - done)
+                log.info(
+                    "updates[%6d] train loss[%8.5f / %8.5f] remaining[%ds]",
+                    self.updates, self.train_loss.avg, loss_val, int(remaining),
+                )
+        self.run_eval(val_data, batch_i)
+        self.run_eval(train_data, batch_i, mode="train")
+        log.info("Training over")
+
+    # -- test inference (`SDNetTrainer.predict_for_test:231-251`) --------
+    def predict_for_test(self):
+        self.get_save_folder(is_train=False)
+        self.preproc.ensure_preprocessed()
+        vocab, char_vocab, embeddings = self.preproc.load_data()
+        self.setup_model(embeddings)
+        test_raw = self._load_split("test")
+        if "RESUME" in self.opt and "MODEL_PATH" in self.opt:
+            model_path = os.path.join(self.opt["datadir"], self.opt["MODEL_PATH"])
+            if os.path.exists(model_path):
+                self.load_model(model_path)
+        test_data = self._dataset(test_raw, "test")
+        return self.run_eval(test_data, 0, mode="test")
+
+
+def _json_safe(v) -> bool:
+    return isinstance(v, (str, int, float, bool, type(None)))
