@@ -10,15 +10,7 @@ from ruart_tpu.models.fusion.model import RUArtModel, install_embeddings
 from ruart_tpu.models.fusion.spec import ModelSpec
 
 
-TINY_OVERRIDES = dict(
-    max_ocr_num=12, max_od_num=5, max_ocr_len=6, max_od_len=4,
-    max_ocr_bert_len=10, max_od_bert_len=8, max_q_len=9, max_q_bert_len=12,
-    hidden_size=8, multi2one_hidden_size=16, highlvl_hidden_size=8,
-    deep_att_hidden_size_per_abstr=12, query_self_attn_hidden_size=10,
-    prealign_hidden=16, ES_ocr_len=3, vocab_size=50,
-    # word-vector dim must equal multi2one output (shipped conf: 300 == 300)
-    glove_dim=16, fast_dim=16,
-)
+from ruart_tpu.core.presets import TINY_OVERRIDES
 
 
 _CACHE = {}
