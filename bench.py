@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end inference throughput of the flagship model.
+
+Measures questions/sec of the full jitted forward (frozen BERT-base over
+question + 100 OCR + 30 OD candidates, fusion stack, candidate scoring) at
+the shipped ST-VQA shapes on the default device (TPU when available).
+
+``vs_baseline`` compares against the CPU batch-1 path (the reference's
+deployment shape: `main_test.py` single-process CPU/GPU inference,
+BASELINE.md config 1). The baseline is measured once in a CPU subprocess
+and cached in ``.bench_baseline.json``.
+
+Prints exactly one JSON line:
+  {"metric": "questions_per_sec", "value": N, "unit": "q/s", "vs_baseline": R}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+BASELINE_KEY = "stvqa_bertbase_b1_cpu_v1"
+
+BASELINE_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bench import build_flagship, measure
+fn, params, batch = build_flagship(batch_size=1)
+qps = measure(fn, params, batch, iters=3, warmup=1)
+print("BASELINE_QPS=" + repr(qps))
+"""
+
+
+def build_flagship(batch_size: int, dtype: str = "float32"):
+    import jax
+    import jax.numpy as jnp
+
+    from ruart_tpu.core.presets import stvqa_config
+    from ruart_tpu.data.synthetic import make_synthetic_batch
+    from ruart_tpu.models.bert.config import BertConfig
+    from ruart_tpu.models.fusion.model import RUArtModel
+    from ruart_tpu.models.fusion.spec import ModelSpec
+
+    cfg = stvqa_config(vocab_size=5000, batch_size=batch_size)
+    spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
+    model = RUArtModel(spec)
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
+    q, ocr, od = (
+        {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
+    )
+    params = model.init(jax.random.PRNGKey(0), q, ocr, od)
+
+    def fn(params, q, ocr, od):
+        return model.apply(params, q, ocr, od, deterministic=True)
+
+    return jax.jit(fn), params, (q, ocr, od)
+
+
+def measure(fn, params, batch, iters: int = 10, warmup: int = 2) -> float:
+    q, ocr, od = batch
+    for _ in range(warmup):
+        fn(params, q, ocr, od).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, q, ocr, od)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    batch_size = q["glove"].shape[0]
+    return batch_size * iters / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cache = json.load(f)
+            if BASELINE_KEY in cache:
+                return float(cache[BASELINE_KEY])
+        except Exception:
+            pass
+    proc = subprocess.run(
+        [sys.executable, "-c", BASELINE_SNIPPET.format(repo=REPO)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    qps = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BASELINE_QPS="):
+            qps = float(line.split("=", 1)[1])
+    if qps is None:
+        raise RuntimeError(
+            f"baseline subprocess failed:\n{proc.stdout}\n{proc.stderr}"
+        )
+    try:
+        with open(CACHE, "w") as f:
+            json.dump({BASELINE_KEY: qps}, f)
+    except OSError:
+        pass
+    return qps
+
+
+def main():
+    baseline = get_baseline()
+
+    sys.path.insert(0, REPO)
+    best = 0.0
+    for batch_size in (16, 64):
+        try:
+            fn, params, batch = build_flagship(batch_size)
+            qps = measure(fn, params, batch, iters=10, warmup=2)
+            best = max(best, qps)
+        except Exception as e:  # noqa: BLE001 — report what we have
+            print(f"# batch {batch_size} failed: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "questions_per_sec",
+                "value": round(best, 3),
+                "unit": "q/s",
+                "vs_baseline": round(best / baseline, 3) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

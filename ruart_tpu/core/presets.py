@@ -74,6 +74,7 @@ ES_ocr  ES_ocr
 ES_ocr_len  10
 ES_sort_way frequency
 ES_using_way    as_ocr
+BuildTestVocabulary
 """
 
 # Scaled-down dimensions for tests / CPU dryruns. The word-vector dim must
