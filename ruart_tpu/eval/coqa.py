@@ -1,0 +1,84 @@
+"""CoQA-style span-QA scoring utilities.
+
+The reference carries SDNet's CoQA scorers in its utils
+(`Utils/CoQAUtils.py:634-859`: normalize/F1/EM, per-question max-over-GT,
+ensemble voting). They are not used by the VQA path but are part of the
+library surface; reimplemented here without pandas/torch.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import Counter
+from typing import Dict, List, Sequence
+
+
+def normalize_answer(s: str) -> str:
+    """Lower, strip punctuation/articles/extra whitespace
+    (`CoQAUtils.py:693-709`)."""
+
+    def remove_articles(text):
+        return re.sub(r"\b(a|an|the)\b", " ", text)
+
+    def white_space_fix(text):
+        return " ".join(text.split())
+
+    def remove_punc(text):
+        exclude = set(string.punctuation)
+        return "".join(ch for ch in text if ch not in exclude)
+
+    return white_space_fix(remove_articles(remove_punc(s.lower())))
+
+
+def f1_score(pred: str, answers: Sequence[str]) -> float:
+    """Token-level F1, max over ground truths (`CoQAUtils.py:653-691`)."""
+    best = 0.0
+    pred_tokens = normalize_answer(pred).split()
+    for gt in answers:
+        gt_tokens = normalize_answer(gt).split()
+        common = Counter(pred_tokens) & Counter(gt_tokens)
+        num_same = sum(common.values())
+        if len(pred_tokens) == 0 or len(gt_tokens) == 0:
+            f1 = float(pred_tokens == gt_tokens)
+        elif num_same == 0:
+            f1 = 0.0
+        else:
+            precision = num_same / len(pred_tokens)
+            recall = num_same / len(gt_tokens)
+            f1 = 2 * precision * recall / (precision + recall)
+        best = max(best, f1)
+    return best
+
+
+def exact_match(pred: str, answers: Sequence[str]) -> float:
+    return float(
+        any(normalize_answer(pred) == normalize_answer(a) for a in answers)
+    )
+
+
+def score_predictions(
+    predictions: Dict[str, str], ground_truths: Dict[str, List[str]]
+) -> Dict[str, float]:
+    """Corpus EM/F1 over {qid: pred} vs {qid: [answers]}
+    (`CoQAUtils.py:754-835` without the domain split table)."""
+    em_sum = f1_sum = 0.0
+    n = 0
+    for qid, answers in ground_truths.items():
+        pred = predictions.get(qid, "")
+        em_sum += exact_match(pred, answers)
+        f1_sum += f1_score(pred, answers)
+        n += 1
+    n = max(n, 1)
+    return {"em": em_sum / n * 100.0, "f1": f1_sum / n * 100.0, "n": n}
+
+
+def ensemble_predict(
+    candidate_lists: Sequence[Sequence[str]], weights: Sequence[float]
+) -> str:
+    """Weighted vote over per-model answers (`CoQAUtils.py:638-651`)."""
+    votes: Counter = Counter()
+    for answers, w in zip(candidate_lists, weights):
+        for a in answers:
+            votes[a] += w
+    return votes.most_common(1)[0][0] if votes else ""

@@ -1,0 +1,82 @@
+"""Pallas fused multi-head attention for the BERT encoder.
+
+Fuses QKᵀ → bias add → softmax → PV into one VMEM-resident kernel per
+(batch, head) so the [L, L] score matrix never round-trips HBM — the
+reference materializes it per layer (`Models/Bert/modeling.py:233-246`).
+
+Shape regime: the pipeline's BERT sequences are short (<= 512 by
+construction — the >512 chunking happens upstream, `Bert.py:94-99`) but the
+batch axis is huge (batch x 100 OCR candidates flattened), so the kernel
+holds a full [L, D] tile per program and parallelizes over the B*H grid;
+no streaming-softmax tiling over L is needed (512 x 64 x 3 x 4B ≈ 400 KB of
+VMEM). Numerics match the XLA path: fp32 accumulation, bias added before a
+max-subtracted softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)        # [L, D]
+    k = k_ref[0, 0].astype(jnp.float32)        # [L, D]
+    v = v_ref[0, 0].astype(jnp.float32)        # [L, D]
+    bias = bias_ref[0, 0].astype(jnp.float32)  # [1, L]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                           # [L, L]
+    s = s * scale + bias                        # bias broadcasts over rows
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """q/k/v: [B, H, L, D]; bias: [B, 1, 1, L] additive mask (-10000 at
+    padding). Returns [B, H, L, D] float32 context."""
+    B, H, L, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    bias2 = bias.reshape(B, 1, 1, L)
+
+    grid = (B, H)
+    blk = lambda idx_fn: pl.BlockSpec(
+        (1, 1, L, D), idx_fn, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            blk(lambda b, h: (b, h, 0, 0)),
+            blk(lambda b, h: (b, h, 0, 0)),
+            blk(lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, L), lambda b, h: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=blk(lambda b, h: (b, h, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * L * L * D,
+            bytes_accessed=4 * B * H * L * D * 4 + B * L * 4,
+            transcendentals=B * H * L * L,
+        ),
+    )(q, k, v, bias2)

@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from ruart_tpu.eval.coqa import (
+    ensemble_predict,
+    exact_match,
+    f1_score,
+    normalize_answer,
+    score_predictions,
+)
+from ruart_tpu.models.fusion.conv import CharCNN, average_pooling, max_pooling
+from ruart_tpu.train.schedules import bert_adam, warmup_linear
+from ruart_tpu.utils.meters import AverageMeter
+from ruart_tpu.utils.timing import Timers
+
+
+def test_coqa_scoring():
+    assert normalize_answer("The  Cat!") == "cat"
+    assert f1_score("the cat sat", ["cat sat down"]) > 0.5
+    assert exact_match("A dog", ["dog", "wolf"]) == 1.0
+    res = score_predictions({"q1": "dog"}, {"q1": ["dog"], "q2": ["cat"]})
+    assert res["em"] == 50.0
+    assert ensemble_predict([["a", "b"], ["b"]], [1.0, 2.0]) == "b"
+
+
+def test_pooling_matches_torch_semantics():
+    torch.manual_seed(0)
+    x = torch.randn(3, 5, 4)
+    mask = torch.tensor(
+        [[1, 1, 0, 0, 0], [1, 1, 1, 1, 1], [0, 0, 0, 0, 0]], dtype=torch.bool
+    )
+    # torch-reference max pooling semantics
+    MIN = -1e6
+    xm = x.masked_fill(~mask.unsqueeze(2), MIN)
+    t_max = xm.max(1)[0]
+    t_max = t_max.masked_fill(t_max == MIN, 0)
+    j_max = max_pooling(jnp.asarray(x.numpy()), jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(j_max), t_max.numpy(), atol=1e-6)
+
+    xa = x.masked_fill(~mask.unsqueeze(2), 0)
+    cnt = mask.float().sum(1, keepdim=True).clamp(min=1)
+    t_avg = xa.sum(1) / cnt
+    j_avg = average_pooling(jnp.asarray(x.numpy()), jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(j_avg), t_avg.numpy(), atol=1e-6)
+
+
+def test_char_cnn_shapes():
+    model = CharCNN(window_size=3, output_size=8)
+    x = jnp.ones((4, 10, 6))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (4, 10, 8)
+    assert (np.abs(np.asarray(out)) <= 1.0).all()  # tanh range
+
+
+def test_warmup_linear_schedule():
+    sched = warmup_linear(lr=1.0, warmup=0.1, total_steps=100)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bert_adam_steps():
+    tx = bert_adam(lr=0.1, warmup=0.1, total_steps=10)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert np.all(np.isfinite(np.asarray(new_params["w"])))
+
+
+def test_meters_and_timers():
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0)
+    assert m.avg == 3.0
+    m2 = AverageMeter()
+    m2.load_state_dict(m.state_dict())
+    assert m2.avg == 3.0
+
+    t = Timers()
+    with t.timer("x"):
+        pass
+    assert "x:" in t.report()

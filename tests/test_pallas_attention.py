@@ -1,0 +1,34 @@
+"""Pallas fused attention vs the XLA reference path (interpret mode on CPU;
+the same kernel compiles for TPU via attention_impl='pallas')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ruart_tpu.models.bert.model import xla_attention
+from ruart_tpu.models.bert.pallas_attention import flash_attention
+
+
+def _rand_qkv(key, B, H, L, D):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+    mask = (jax.random.uniform(ks[3], (B, L)) > 0.2).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)  # at least one valid position
+    bias = (1.0 - mask[:, None, None, :]) * -10000.0
+    return q, k, v, bias
+
+
+def test_matches_xla_attention():
+    q, k, v, bias = _rand_qkv(jax.random.PRNGKey(0), B=3, H=2, L=16, D=8)
+    ref = xla_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_odd_length_and_all_masked_tail():
+    q, k, v, bias = _rand_qkv(jax.random.PRNGKey(1), B=2, H=4, L=50, D=64)
+    ref = xla_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
