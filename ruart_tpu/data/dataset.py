@@ -43,6 +43,7 @@ class VQADataset:
         mode: str = "train",
         tokenizer: Optional[WordPieceTokenizer] = None,
         fixed_answers_entry: Optional[dict] = None,
+        image_features=None,
     ):
         assert mode in ("train", "dev", "test")
         self.cfg = cfg
@@ -50,6 +51,7 @@ class VQADataset:
         self.mode = mode
         self.tokenizer = tokenizer
         self.fixed_answers_entry = fixed_answers_entry
+        self.image_features = image_features
 
         self.data: List[dict] = []
         dropped = []
@@ -227,6 +229,20 @@ class VQADataset:
             {**self.get_item_embedding(t["word"], t["original"]), "position": t["pos"]}
             for t in od_list
         ]
+
+        if "img_feature" in self.opt and self.image_features is not None:
+            # provider duck-typing: HDF5 packs key by question/image id,
+            # npy providers key by file path (`VQA_Dataset.py:154-207`)
+            from ruart_tpu.data.image_features import HDF5ImageFeatures
+
+            if isinstance(self.image_features, HDF5ImageFeatures):
+                feat, spa = self.image_features.get(datum["question_id"])
+            else:
+                feat, spa = self.image_features.get(
+                    datum.get("filename", ""), mode=self.mode
+                )
+            q["img_features"] = feat
+            q["img_spatials"] = spa
 
         answers = datum.get("orign_answers")
         gt = self.get_label(ocr_list, answers)

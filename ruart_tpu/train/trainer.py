@@ -64,6 +64,7 @@ class Trainer:
         self.best_anls_batch = -1
         self.best_acc_batch = -1
         self._load_fixed_answers()
+        self._load_image_features()
 
     # -- folders (`BaseTrainer.py:48-69`) --------------------------------
     def get_save_folder(self, is_train: bool) -> str:
@@ -115,6 +116,15 @@ class Trainer:
             "fixed_answers_phoc": phoc,
         }
         self.opt["fixed_answers_len"] = len(fixed)
+
+    def _load_image_features(self):
+        """`SDNetTrainer.load_image_features:178-207` hook."""
+        self.image_features = None
+        if "img_feature" in self.opt:
+            from ruart_tpu.data.image_features import load_image_features
+
+            self.image_features = load_image_features(self.opt)
+            log.info("Image features have been loaded")
 
     # -- model setup (`SDNetTrainer.setup_model:290-328`) ----------------
     def setup_model(self, embeddings: Dict[str, np.ndarray]):
@@ -237,6 +247,7 @@ class Trainer:
         return VQADataset(
             label_data["data"], self.cfg, mode=mode, tokenizer=self.tokenizer,
             fixed_answers_entry=self.fixed_answers_entry,
+            image_features=self.image_features,
         )
 
     # -- evaluation (`SDNetTrainer.evaluate:128-176`) --------------------
