@@ -64,13 +64,18 @@ def build_flagship(batch_size: int, dtype: str = "float32"):
 
 
 def measure(fn, params, batch, iters: int = 10, warmup: int = 2) -> float:
+    """Throughput with a forced device->host fetch as the completion fence
+    (under the axon tunnel, block_until_ready returns before the device
+    finishes; fetching output bytes is the only reliable barrier)."""
+    import numpy as np
+
     q, ocr, od = batch
     for _ in range(warmup):
-        fn(params, q, ocr, od).block_until_ready()
+        np.asarray(fn(params, q, ocr, od))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(params, q, ocr, od)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
     batch_size = q["glove"].shape[0]
     return batch_size * iters / dt

@@ -83,6 +83,13 @@ class ModelSpec:
             bert_config = (
                 BertConfig.large_uncased() if "BERT_LARGE" in opt else BertConfig()
             )
+        # BF16 conf flag: run the (frozen) BERT encoder in bfloat16 on the
+        # MXU; the fusion stack stays fp32 (a perf mode with no reference
+        # equivalent — the reference is fp32-only)
+        if use_bert and "BF16" in opt and bert_config.dtype != "bfloat16":
+            import dataclasses as _dc
+
+            bert_config = _dc.replace(bert_config, dtype="bfloat16")
         return cls(
             q_embedding=tuple(cfg.q_embedding),
             ocr_embedding=tuple(cfg.ocr_embedding),

@@ -25,6 +25,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from ruart_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(str(REPO_ROOT), ".jax_test_cache"))
+
 import pytest
 
 
