@@ -158,7 +158,16 @@ class BertModel(nn.Module):
         attention_mask=None,
         token_type_ids=None,
         deterministic: bool = True,
+        combine_weights=None,
+        stop_layer_gradients: bool = False,
     ):
+        """Without ``combine_weights``: returns (all_layers [L, B, Lb, D],
+        pooled). With ``combine_weights`` [L]: returns (combined [B, Lb, D],
+        pooled) — the weighted layer sum accumulated in-loop so the [L, ...]
+        stack is never materialized (12x activation-memory saving vs the
+        reference's pool-then-combine, same math). ``stop_layer_gradients``
+        cuts gradients into the encoder while leaving the combine weights
+        trainable (LOCK_BERT + BERT_LINEAR_COMBINE semantics)."""
         c = self.config
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
@@ -169,13 +178,23 @@ class BertModel(nn.Module):
             input_ids, token_type_ids, deterministic
         )
         layers = []
+        acc = None
         for i in range(c.num_hidden_layers):
             hidden = BertLayer(c, name=f"layer_{i}")(hidden, bias, deterministic)
-            layers.append(hidden.astype(jnp.float32))
-        all_layers = jnp.stack(layers, axis=0)
-        pooled = nn.Dense(c.hidden_size, name="pooler_dense")(all_layers[-1][:, 0])
+            out = hidden.astype(jnp.float32)
+            if stop_layer_gradients:
+                out = jax.lax.stop_gradient(out)
+            if combine_weights is None:
+                layers.append(out)
+            else:
+                term = combine_weights[i] * out
+                acc = term if acc is None else acc + term
+        last = layers[-1] if combine_weights is None else hidden.astype(jnp.float32)
+        pooled = nn.Dense(c.hidden_size, name="pooler_dense")(last[:, 0])
         pooled = jnp.tanh(pooled)
-        return all_layers, pooled
+        if combine_weights is None:
+            return jnp.stack(layers, axis=0), pooled
+        return acc, pooled
 
 
 def encode_chunked(
@@ -260,15 +279,20 @@ class BertWordEncoder(nn.Module):
         word_mask,
         deterministic: bool = True,
     ):
-        all_layers, _ = BertModel(self.config, name="bert")(
-            input_ids, attention_mask, deterministic=deterministic
-        )
+        bert = BertModel(self.config, name="bert")
         if self.linear_combine:
             alpha = self.param(
                 "alphaBERT", lambda k: jnp.ones((self.config.num_hidden_layers,))
             )
             gamma = self.param("gammaBERT", lambda k: jnp.ones((1, 1)))
-            combined = linear_combine(all_layers, alpha, gamma)
+            w = jax.nn.softmax(alpha) * gamma.reshape(())
+            combined, _ = bert(
+                input_ids, attention_mask, deterministic=deterministic,
+                combine_weights=w,
+            )
         else:
+            all_layers, _ = bert(
+                input_ids, attention_mask, deterministic=deterministic
+            )
             combined = all_layers[-1]
         return subword_to_word_pooling(combined, offsets, word_mask)

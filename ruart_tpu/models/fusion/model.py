@@ -194,12 +194,18 @@ class RUArtModel(nn.Module):
         s = self.spec
         ids = item["bert"]
         mask = item["bert_mask"]
-        all_layers, _ = self.Bert(ids, mask, deterministic=True)
-        if s.lock_bert:
-            all_layers = jax.lax.stop_gradient(all_layers)
         if s.bert_linear_combine:
-            combined = linear_combine(all_layers, self.alphaBERT, self.gammaBERT)
+            # fold softmax(alpha)*gamma into the encoder's in-loop layer
+            # accumulation: never materializes the [L, B, Lb, D] stack
+            w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
+            combined, _ = self.Bert(
+                ids, mask, deterministic=True,
+                combine_weights=w, stop_layer_gradients=s.lock_bert,
+            )
         else:
+            all_layers, _ = self.Bert(ids, mask, deterministic=True)
+            if s.lock_bert:
+                all_layers = jax.lax.stop_gradient(all_layers)
             combined = all_layers[-1]
         pooled = subword_to_word_pooling(combined, item["bert_offsets"], word_mask)
         if s.bert_linear_combine:

@@ -147,3 +147,19 @@ def test_bert_word_encoder_shapes():
     params = model.init(jax.random.PRNGKey(0), ids, mask, offsets, wmask)
     out = model.apply(params, ids, mask, offsets, wmask)
     assert out.shape == (B, W, cfg.hidden_size)
+
+
+def test_inloop_combine_matches_stack_combine():
+    """combine_weights in-loop accumulation == stack-then-linear_combine."""
+    cfg = BertConfig.tiny()
+    model = BertModel(cfg)
+    ids = jnp.arange(20, dtype=jnp.int32).reshape(2, 10) % cfg.vocab_size
+    mask = jnp.ones((2, 10), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    all_layers, _ = model.apply(params, ids, mask)
+    alpha = jnp.array([0.1, -0.4, 2.0])
+    gamma = jnp.array([[1.3]])
+    ref = linear_combine(all_layers, alpha, gamma)
+    w = jax.nn.softmax(alpha) * gamma.reshape(())
+    combined, _ = model.apply(params, ids, mask, combine_weights=w)
+    np.testing.assert_allclose(np.asarray(combined), np.asarray(ref), atol=1e-5)
