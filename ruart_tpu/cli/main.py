@@ -43,6 +43,20 @@ def setup_logging(log_file: str = ""):
         logging.getLogger().addHandler(handler)
 
 
+def apply_runtime_flags(cfg):
+    """Conf-gated runtime switches: persistent compile cache (default on),
+    NaN tracing (`debug_nans`, the jax equivalent of the reference's NaN
+    asserts, SURVEY §5), and x64 off."""
+    import jax
+
+    from ruart_tpu.utils.cache import enable_compilation_cache
+
+    if "no_compile_cache" not in cfg.opt:
+        enable_compilation_cache()
+    if "debug_nans" in cfg.opt:
+        jax.config.update("jax_debug_nans", True)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="ruart-tpu")
     parser.add_argument("--command", default="train", help="Command: train")
@@ -52,6 +66,7 @@ def main(argv=None):
 
     setup_logging(args.log_file)
     cfg = build_config(args.conf_file)
+    apply_runtime_flags(cfg)
 
     from ruart_tpu.train.trainer import Trainer
 

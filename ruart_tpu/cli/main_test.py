@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import argparse
 
-from ruart_tpu.cli.main import build_config, setup_logging
+from ruart_tpu.cli.main import apply_runtime_flags, build_config, setup_logging
 
 
 def main(argv=None):
@@ -17,6 +17,7 @@ def main(argv=None):
 
     setup_logging(args.log_file)
     cfg = build_config(args.conf_file)
+    apply_runtime_flags(cfg)
 
     from ruart_tpu.train.trainer import Trainer
 

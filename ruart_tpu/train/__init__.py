@@ -1,0 +1,1 @@
+from ruart_tpu.train.trainer import Trainer

@@ -14,8 +14,6 @@ from ruart_tpu.train.train_step import make_eval_step
 
 @pytest.mark.usefixtures("shipped_conf_opt")
 def test_sharded_eval_matches_single(shipped_conf_opt, tmp_path_factory):
-    # reuse the e2e pipeline fixture machinery
-    from tests.test_data import pipeline_env  # noqa: F401 (fixture import)
     import msgpack
     from ruart_tpu.core.config import Config
     from ruart_tpu.core.presets import TINY_OVERRIDES
