@@ -1,0 +1,132 @@
+"""Online batched inference engine.
+
+The reference only supports file-based offline inference
+(`main_test.py` -> msgpack -> submission.json). For serving, this engine
+takes raw requests (question text + OCR tokens with pixel boxes + object
+detections), runs the full featurization pipeline on host, and answers with
+one fixed-shape jitted forward per batch — padding every batch to the
+configured batch size so XLA compiles exactly one program.
+
+Request schema (one sample):
+    {"question": str,
+     "image_width": int, "image_height": int,
+     "ocr": [{"word": str, "pos": [8 px quad]}...],
+     "od":  [{"object": str, "pos": [cx, cy, w, h] px}...],
+     "es":  optional [{"word", "pos", "cnt"}...]}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.dataset import VQADataset
+from ruart_tpu.data.preprocess import Preprocessor
+from ruart_tpu.eval.decoder import decode_batch
+from ruart_tpu.models.fusion.model import RUArtModel
+from ruart_tpu.models.fusion.spec import ModelSpec
+from ruart_tpu.text.wordpiece import WordPieceTokenizer
+from ruart_tpu.train.train_step import make_eval_step
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: Config,
+        spec: ModelSpec,
+        params,
+        vocab: Sequence[str],
+        tokenizer: WordPieceTokenizer,
+        fixed_answers: Optional[Sequence[str]] = None,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.params = params
+        self.tokenizer = tokenizer
+        self.fixed_answers = fixed_answers
+        self.model = RUArtModel(spec)
+        self.collator = Collator(cfg)
+        self.eval_step = make_eval_step(self.model)
+        self.batch_size = cfg.batch_size
+        # host featurization reuses the offline pipeline on micro-batches
+        self._pre = Preprocessor(cfg)
+        self._pre.train_vocab = list(vocab)
+        self._ocr_name = str(cfg.opt.get("preprocess_ocr_name", "OCR")).split(",")[0]
+        self._od_name = str(cfg.opt.get("preprocess_od_name", "OD")).split(",")[0]
+        self._es_name = cfg.opt.get("ES_ocr")
+
+    # -- host featurization ------------------------------------------------
+    def _to_raw_datum(self, sample: Dict[str, Any], qid: int) -> Dict[str, Any]:
+        datum = {
+            "question": sample["question"],
+            "question_id": qid,
+            "file_path": sample.get("image_path", ""),
+            "image_width": sample.get("image_width", 1),
+            "image_height": sample.get("image_height", 1),
+            self._ocr_name: [
+                {"word": t["word"], "pos": list(t.get("pos", [0] * 8))}
+                for t in sample.get("ocr", [])
+            ],
+            self._od_name: [
+                {"object": t["object"], "pos": list(t.get("pos", [0, 0, 0, 0]))}
+                for t in sample.get("od", [])
+            ],
+        }
+        if self._es_name:
+            datum[self._es_name] = [
+                {
+                    "word": t["word"],
+                    "pos": list(t.get("pos", [0] * 8)),
+                    "cnt": t.get("cnt", 1),
+                    "idx": i,
+                }
+                for i, t in enumerate(sample.get("es", sample.get("ocr", [])))
+            ]
+        return datum
+
+    def featurize(self, samples: Sequence[Dict[str, Any]]) -> VQADataset:
+        raw = [self._to_raw_datum(s, i) for i, s in enumerate(samples)]
+        data = self._pre._process_data(raw)
+        self._pre._assign_ids(data)
+        return VQADataset(data, self.cfg, mode="test", tokenizer=self.tokenizer)
+
+    # -- inference -----------------------------------------------------------
+    def predict(self, samples: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Returns [{'answer', 'score', 'idx'}] aligned with samples."""
+        ds = self.featurize(samples)
+        results: List[Dict[str, Any]] = [None] * len(ds)
+        B = self.batch_size
+        for start in range(0, len(ds), B):
+            idxs = list(range(start, min(start + B, len(ds))))
+            items = [ds[i] for i in idxs]
+            # pad the tail batch by repeating the last item: one compiled shape
+            while len(items) < B:
+                items.append(items[-1])
+            q, ocr, od, gt, extra = self.collator(items)
+            scores, _ = self.eval_step(self.params, q, ocr, od, None)
+            res, save_res, _, _ = decode_batch(
+                np.asarray(scores), extra, np.asarray(ocr["num"]),
+                self.fixed_answers,
+                yesno=self.spec.label_yesno,
+                label_no_answer=self.spec.label_no_answer,
+            )
+            for j, i in enumerate(idxs):
+                results[i] = {
+                    "answer": save_res[j]["prediction"],
+                    "score": save_res[j]["score"],
+                    "idx": save_res[j]["idx"],
+                }
+        return results
+
+    # -- constructors ----------------------------------------------------
+    @classmethod
+    def from_trainer(cls, trainer) -> "InferenceEngine":
+        return cls(
+            trainer.cfg, trainer.spec, trainer.state.params,
+            getattr(trainer, "vocab", trainer.preproc.train_vocab or []),
+            trainer.tokenizer, trainer.fixed_answers,
+        )

@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.models.bert.config import BertConfig
+from ruart_tpu.models.fusion.model import RUArtModel
+from ruart_tpu.models.fusion.spec import ModelSpec
+from ruart_tpu.serve import InferenceEngine
+from ruart_tpu.text.wordpiece import WordPieceTokenizer, build_demo_vocab
+
+from ruart_tpu.core.presets import TINY_OVERRIDES
+
+
+def _requests(n):
+    reqs = []
+    for i in range(n):
+        reqs.append(
+            {
+                "question": f"what does the sign {i} say",
+                "image_width": 640,
+                "image_height": 480,
+                "ocr": [
+                    {"word": "stop", "pos": [10, 10, 60, 10, 60, 30, 10, 30]},
+                    {"word": "exit", "pos": [100, 10, 150, 10, 150, 30, 100, 30]},
+                ],
+                "od": [{"object": "sign", "pos": [320, 240, 100, 60]}],
+            }
+        )
+    return reqs
+
+
+def test_inference_engine(shipped_conf_opt):
+    import jax
+    import jax.numpy as jnp
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(
+        {
+            "batch_size": 2,
+            "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+            "preprocess_od_name": "OD_bottom-up",
+            "datadir": ".",
+            "FEATURE_FOLDER": ".",
+        }
+    )
+    cfg = Config(opt)
+    tok = WordPieceTokenizer(build_demo_vocab())
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=len(tok.vocab)))
+
+    # vocab: reserved + the words used in requests
+    vocab = ["<PAD>", "<UNK>", "<Q>", "<OCR>", "<OD>", "stop", "exit", "sign",
+             "what", "does", "the", "say"]
+    # pad vocab to spec.vocab_size rows
+    while len(vocab) < spec.vocab_size:
+        vocab.append(f"w{len(vocab)}")
+
+    from ruart_tpu.data.synthetic import make_synthetic_batch
+
+    model = RUArtModel(spec)
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        *(jax.tree.map(jnp.asarray, t) for t in (q, ocr, od)),
+    )
+
+    engine = InferenceEngine(cfg, spec, params, vocab, tok)
+    # 3 requests with batch_size 2 -> exercises tail padding
+    results = engine.predict(_requests(3))
+    assert len(results) == 3
+    for r in results:
+        assert isinstance(r["answer"], str) and r["answer"]
+        assert np.isfinite(r["score"])
+    # same request -> same answer (deterministic)
+    again = engine.predict(_requests(3))
+    assert [r["answer"] for r in again] == [r["answer"] for r in results]
