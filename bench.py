@@ -110,18 +110,48 @@ def get_baseline() -> float:
     return qps
 
 
+MEASURE_SNIPPET = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from ruart_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from bench import build_flagship, measure
+fn, params, batch = build_flagship(batch_size={bs}, dtype={dt!r})
+qps = measure(fn, params, batch, iters=8, warmup=2)
+print("QPS=" + repr(qps))
+"""
+
+
+def _measure_subprocess(batch_size: int, dtype: str, timeout: int = 2400):
+    """Each config runs in a fresh process: compiled executables and live
+    buffers from one config otherwise fragment HBM for the next."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         MEASURE_SNIPPET.format(repo=REPO, bs=batch_size, dt=dtype)],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("QPS="):
+            return float(line.split("=", 1)[1])
+    print(
+        f"# config b{batch_size}/{dtype} failed:\n{proc.stderr[-500:]}",
+        file=sys.stderr,
+    )
+    return None
+
+
 def main():
     baseline = get_baseline()
-
     sys.path.insert(0, REPO)
     best = 0.0
-    for batch_size in (16, 64):
-        try:
-            fn, params, batch = build_flagship(batch_size)
-            qps = measure(fn, params, batch, iters=10, warmup=2)
+    for batch_size, dtype in ((64, "bfloat16"), (64, "float32"), (16, "float32")):
+        qps = _measure_subprocess(batch_size, dtype)
+        if qps:
             best = max(best, qps)
-        except Exception as e:  # noqa: BLE001 — report what we have
-            print(f"# batch {batch_size} failed: {e}", file=sys.stderr)
+        if best > 0 and batch_size == 64:
+            # one successful large-batch config is the headline; skip the
+            # small-batch fallback to keep bench wall-time bounded
+            break
     print(
         json.dumps(
             {

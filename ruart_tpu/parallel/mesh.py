@@ -93,13 +93,28 @@ def _tree_paths(tree: Any, prefix: str = ""):
         yield prefix.rstrip("/"), tree
 
 
+def _fits(spec: P, shape, mesh: Mesh) -> bool:
+    """A PartitionSpec is usable only if every sharded dim divides evenly
+    (e.g. an odd-sized vocabulary cannot shard over tp=2)."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if dim >= len(shape) or shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
 def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Matching tree of NamedShardings for a param tree."""
+    """Matching tree of NamedShardings for a param tree; rules whose sharded
+    dims don't divide the mesh axis fall back to replication."""
 
     def build(tree, prefix=""):
         if isinstance(tree, dict):
             return {k: build(v, f"{prefix}{k}/") for k, v in tree.items()}
-        return NamedSharding(mesh, param_pspec(prefix.rstrip("/")))
+        spec = param_pspec(prefix.rstrip("/"))
+        if not _fits(spec, getattr(tree, "shape", ()), mesh):
+            spec = P()
+        return NamedSharding(mesh, spec)
 
     return build(params)
 

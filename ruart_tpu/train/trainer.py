@@ -202,8 +202,40 @@ class Trainer:
             self.model, self.tx, self.loss_fn, row_pinner
         )
         self.eval_step = make_eval_step(self.model, self.loss_fn)
+
+        # mesh execution: when several devices are visible and the batch
+        # divides the data axis, shard params (BERT tensor-parallel) and run
+        # every step SPMD — the TPU-native replacement for the reference's
+        # 2-GPU ModelParallel split (`SDNetTrainer.py:296-301`)
+        self.mesh = None
+        self._batch_sharding = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and "no_mesh" not in self.opt:
+            from ruart_tpu.parallel.mesh import auto_mesh, batch_pspec, shard_params
+
+            mesh = auto_mesh()
+            dp = mesh.shape["dp"]
+            if cfg.batch_size % dp == 0:
+                self.mesh = mesh
+                params = shard_params(params, mesh)
+                self._batch_sharding = batch_pspec(mesh)
+                log.info(
+                    "Mesh execution: dp=%d tp=%d over %d devices",
+                    dp, mesh.shape["tp"], n_dev,
+                )
+            elif "ModelParallel" in self.opt:
+                log.info(
+                    "ModelParallel conf key noted; batch %d not divisible by "
+                    "dp=%d, staying single-device", cfg.batch_size, dp,
+                )
+
         self.state = init_train_state(params, self.tx, cfg.seed)
         self.updates = 0
+
+    def _device_put(self, batch):
+        if self._batch_sharding is None:
+            return batch
+        return device_put_batch(batch, self._batch_sharding)
 
     # -- checkpoint plumbing --------------------------------------------
     def save(self, filename: str, epoch: int = 0):
@@ -255,6 +287,7 @@ class Trainer:
         result = evaluate(
             self.eval_step, self.state.params, dataset, self.cfg,
             self.collator, fixed_answers=self.fixed_answers,
+            device_put=self._device_put if self.mesh is not None else None,
         )
         if mode == "test":
             write_submission(
@@ -322,7 +355,8 @@ class Trainer:
         )
         start = time.time()
         batch_i = batch_st - 1
-        for q, ocr, od, gt, extra in prefetch(it, size=2):
+        put = self._device_put if self.mesh is not None else None
+        for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=put):
             batch_i += 1
             if batch_i % eval_every == 0:
                 self.run_eval(val_data, batch_i)
