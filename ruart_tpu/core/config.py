@@ -115,7 +115,14 @@ class Config:
         self.opt = dict(opt)
         self._pos_vocab = POS_VOCAB_SIZE
         self._ent_vocab = ENT_VOCAB_SIZE
-        self.dims = self._derive_dims()
+        self._derive_dims()  # validate eagerly
+
+    @property
+    def dims(self) -> "ModelDims":
+        # re-derived on access: the trainer fills in runtime keys
+        # (vocab_size from meta, fixed_answers_len from the answers file)
+        # after construction, like the reference mutating its opt dict
+        return self._derive_dims()
 
     # --- dict-like API (reference `opt` compatibility) -------------------
     def __contains__(self, key: str) -> bool:
@@ -182,7 +189,8 @@ class Config:
     @property
     def fixed_answers_len(self) -> int:
         if "fixed_answers" in self.opt:
-            return int(self.opt["fixed_answers_len"])
+            # 0 until the trainer loads the answers file and fills it in
+            return int(self.opt.get("fixed_answers_len", 0))
         return 0
 
     @property
