@@ -99,7 +99,7 @@ class BertSelfAttention(nn.Module):
         v = split_heads(proj("value")(hidden))
 
         if c.attention_impl == "pallas":
-            from ruart_tpu.models.bert.pallas_attention import flash_attention
+            from ruart_tpu.ops.attention import flash_attention
 
             ctx = flash_attention(q, k, v, bias)
         else:

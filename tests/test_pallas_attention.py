@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from ruart_tpu.models.bert.model import xla_attention
-from ruart_tpu.models.bert.pallas_attention import flash_attention
+from ruart_tpu.ops.attention import flash_attention
 
 
 def _rand_qkv(key, B, H, L, D):
