@@ -79,6 +79,22 @@ def xla_attention(q, k, v, bias, dropout_fn=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
 
 
+class DenseParams(nn.Module):
+    """Dense-compatible parameter holder (kernel [in, out] + bias), used
+    where several projections are fused into one GEMM while keeping the
+    per-projection checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
 
@@ -87,16 +103,25 @@ class BertSelfAttention(nn.Module):
         c = self.config
         H, D = c.num_attention_heads, c.hidden_size
         dh = D // H
+        dt = _dtype(c)
 
-        def proj(name):
-            return nn.Dense(D, name=name, dtype=_dtype(c))
+        # parameters stay as separate query/key/value subtrees (checkpoint
+        # layout unchanged), but the three projections run as ONE fused GEMM
+        wq, bq = DenseParams(D, name="query")(D)
+        wk, bk = DenseParams(D, name="key")(D)
+        wv, bv = DenseParams(D, name="value")(D)
+        w = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+        b = jnp.concatenate([bq, bk, bv]).astype(dt)
+        qkv = jnp.einsum(
+            "bld,de->ble", hidden, w, preferred_element_type=dt
+        ) + b
 
         def split_heads(x):
             return x.reshape(*x.shape[:-1], H, dh).transpose(0, 2, 1, 3)
 
-        q = split_heads(proj("query")(hidden))
-        k = split_heads(proj("key")(hidden))
-        v = split_heads(proj("value")(hidden))
+        q = split_heads(qkv[..., :D])
+        k = split_heads(qkv[..., D : 2 * D])
+        v = split_heads(qkv[..., 2 * D :])
 
         if c.attention_impl == "pallas":
             from ruart_tpu.ops.attention import flash_attention
