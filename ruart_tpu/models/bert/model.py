@@ -139,6 +139,9 @@ class BertLayer(nn.Module):
     def __call__(self, hidden, bias, deterministic=True):
         c = self.config
         dt = _dtype(c)
+        # In bf16 mode the whole layer stays bf16 (gelu/LayerNorm included):
+        # fp32 round-trips on the [B·N, L, 4D] FFN tensor dominate HBM
+        # traffic at these shapes. fp32 mode is bit-unchanged (dt == f32).
         attn_out = BertSelfAttention(c, name="attention_self")(
             hidden, bias, deterministic
         )
@@ -149,18 +152,18 @@ class BertLayer(nn.Module):
             attn_out, deterministic=deterministic
         )
         hidden = nn.LayerNorm(
-            epsilon=c.layer_norm_eps, name="attention_output_LayerNorm"
+            epsilon=c.layer_norm_eps, name="attention_output_LayerNorm", dtype=dt
         )(attn_out + hidden)
 
         inter = nn.Dense(c.intermediate_size, name="intermediate_dense", dtype=dt)(
             hidden
         )
-        inter = jax.nn.gelu(inter.astype(jnp.float32), approximate=False).astype(dt)
+        inter = jax.nn.gelu(inter, approximate=False)
         out = nn.Dense(c.hidden_size, name="output_dense", dtype=dt)(inter)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm")(
-            out + hidden
-        )
+        hidden = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="output_LayerNorm", dtype=dt
+        )(out + hidden)
         return hidden
 
 
