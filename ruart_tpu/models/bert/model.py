@@ -111,25 +111,29 @@ class BertSelfAttention(nn.Module):
         def proj(name):
             return nn.Dense(D, name=name, dtype=dt)
 
+        qp, kp, vp = proj("query")(hidden), proj("key")(hidden), proj("value")(hidden)
+
+        if c.attention_impl == "pallas":
+            # grouped fused kernel in model layout: no head transposes, no
+            # [B, H, L, L] HBM round trip (ops/attention.py)
+            from ruart_tpu.ops.attention import grouped_attention
+
+            bias_rows = bias[:, 0, 0, :]
+            ctx = grouped_attention(qp, kp, vp, bias_rows, heads=H)
+            return ctx.astype(dt)
+
         def split_heads(x):
             return x.reshape(*x.shape[:-1], H, dh).transpose(0, 2, 1, 3)
 
-        q = split_heads(proj("query")(hidden))
-        k = split_heads(proj("key")(hidden))
-        v = split_heads(proj("value")(hidden))
-
-        if c.attention_impl == "pallas":
-            from ruart_tpu.ops.attention import flash_attention
-
-            ctx = flash_attention(q, k, v, bias)
-        else:
-            drop = None
-            if not deterministic and c.attention_probs_dropout_prob > 0:
-                dropout = nn.Dropout(c.attention_probs_dropout_prob)
-                drop = lambda p: dropout(p, deterministic=False)
-            ctx = xla_attention(q, k, v, bias, drop)
+        drop = None
+        if not deterministic and c.attention_probs_dropout_prob > 0:
+            dropout = nn.Dropout(c.attention_probs_dropout_prob)
+            drop = lambda p: dropout(p, deterministic=False)
+        ctx = xla_attention(
+            split_heads(qp), split_heads(kp), split_heads(vp), bias, drop
+        )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(*hidden.shape[:-1], D)
-        return ctx.astype(_dtype(c))
+        return ctx.astype(dt)
 
 
 class BertLayer(nn.Module):

@@ -32,3 +32,26 @@ def test_odd_length_and_all_masked_tail():
     ref = xla_attention(q, k, v, bias)
     out = flash_attention(q, k, v, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_grouped_attention_matches_xla():
+    from ruart_tpu.ops.attention import grouped_attention
+
+    key = jax.random.PRNGKey(2)
+    B, L, H, dh = 37, 30, 12, 64  # B deliberately not a multiple of the group
+    D = H * dh
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, L, D))
+    k = jax.random.normal(ks[1], (B, L, D))
+    v = jax.random.normal(ks[2], (B, L, D))
+    mask = (jax.random.uniform(ks[3], (B, L)) > 0.3).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    bias_rows = (1.0 - mask) * -10000.0
+
+    def split(x):
+        return x.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+    ref = xla_attention(split(q), split(k), split(v), bias_rows[:, None, None, :])
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, D))
+    out = grouped_attention(q, k, v, bias_rows, heads=H, group=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
