@@ -55,30 +55,23 @@ def _grouped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
     and no [B,H,L,L] HBM round trip."""
     G, L, D = q_ref.shape
     dh = D // heads
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
+    k = k_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
+    v = v_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
     bias = bias_ref[...].astype(jnp.float32)          # [G, L]
-    outs = []
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(
-            q[:, :, sl], k[:, :, sl],
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                             # [G, L, L]
-        s = s * scale + bias[:, None, :]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                p, v[:, :, sl],
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )                                             # [G, L, dh]
-    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    # batched over (G, H): contraction on dh
+    s = jax.lax.dot_general(
+        q, k, (((3,), (3,)), ((0, 2), (0, 2))), preferred_element_type=jnp.float32
+    )                                                 # [G, H, L, L]
+    s = s * scale + bias[:, None, None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    ctx = jax.lax.dot_general(
+        p, v, (((3,), (1,)), ((0, 1), (0, 2))), preferred_element_type=jnp.float32
+    )                                                 # [G, H, L, dh]
+    ctx = jnp.moveaxis(ctx, 1, 2).reshape(G, L, D)
+    o_ref[...] = ctx.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret", "group"))

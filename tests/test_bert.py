@@ -163,3 +163,20 @@ def test_inloop_combine_matches_stack_combine():
     w = jax.nn.softmax(alpha) * gamma.reshape(())
     combined, _ = model.apply(params, ids, mask, combine_weights=w)
     np.testing.assert_allclose(np.asarray(combined), np.asarray(ref), atol=1e-5)
+
+
+def test_encode_chunked_splits_positions():
+    """>512 chunking: positions restart per chunk (Bert.py:94-101 quirk)."""
+    from ruart_tpu.models.bert.model import encode_chunked
+
+    cfg = BertConfig.tiny(max_position_embeddings=8)
+    model = BertModel(cfg)
+    ids = jnp.ones((2, 16), dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :8], mask[:, :8])
+    out = encode_chunked(model, params, ids, mask, max_chunk=8)
+    assert out.shape == (cfg.num_hidden_layers, 2, 16, cfg.hidden_size)
+    # identical content per chunk + restarted positions -> identical outputs
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, :8]), np.asarray(out[:, :, 8:]), atol=1e-5
+    )
