@@ -9,7 +9,7 @@ id != 0, `num`/`len` carry candidate/word counts. Unlike the reference
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

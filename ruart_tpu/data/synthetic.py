@@ -12,7 +12,6 @@ Two generators:
 
 from __future__ import annotations
 
-import string
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -9,10 +9,6 @@ score matrix is gathered to host for decoding (BASELINE.json config 5).
 
 from __future__ import annotations
 
-from typing import Callable
-
-import jax
-
 from ruart_tpu.data.pipeline import device_put_batch
 from ruart_tpu.models.fusion.model import RUArtModel
 from ruart_tpu.parallel.mesh import batch_pspec, replicate

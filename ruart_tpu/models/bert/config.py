@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,8 +23,6 @@ The reference runs BERT in eval mode even while training the fusion stack
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

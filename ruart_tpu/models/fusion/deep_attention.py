@@ -8,7 +8,7 @@ layer; the concatenated [x1 abstractions ‖ attended levels] feeds a BiLSTM.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

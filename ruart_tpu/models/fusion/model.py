@@ -40,11 +40,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ruart_tpu.models.bert.model import (
-    BertModel,
-    linear_combine,
-    subword_to_word_pooling,
-)
+from ruart_tpu.models.bert.model import BertModel, subword_to_word_pooling
 from ruart_tpu.models.fusion.deep_attention import DeepAttention
 from ruart_tpu.models.fusion.layers import (
     Attention,

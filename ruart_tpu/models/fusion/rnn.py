@@ -15,7 +15,7 @@ is a straight copy and torch-parity tests are layout-free.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence
 
-import jax
 import numpy as np
 
 from ruart_tpu.core.config import Config

@@ -17,7 +17,7 @@ lowercase, strip every character outside [a-z0-9], then encode.
 from __future__ import annotations
 
 import ctypes
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

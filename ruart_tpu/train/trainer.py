@@ -14,7 +14,7 @@ import logging
 import os
 import shutil
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import msgpack
