@@ -54,17 +54,83 @@ def _try_spacy():
 
 def annotate(text: str, nlp=None) -> Dict[str, List]:
     """Tokenize + tag one string into the reference's 'process' schema
-    (`CoQAPreprocess.py:569-599`): word/pos_id/ent_id lists."""
+    (`CoQAPreprocess.py:566-599`): word / lemma / pos / pos_id / ent /
+    ent_id / offsets / sentences."""
     if nlp is not None:
         doc = nlp(featurizer.pre_proc(text.lower()))
-        words, pos_ids, ent_ids = [], [], []
+        words, lemmas, pos, pos_ids, ents, ent_ids, offsets = [], [], [], [], [], [], []
         for token in doc:
             words.append(featurizer.normalize_text(token.text))
+            lemmas.append(
+                token.lemma_ if token.lemma_ != "-PRON-" else token.text.lower()
+            )
+            pos.append(token.tag_)
             pos_ids.append(featurizer.pos_id(token.tag_))
+            ent = "O" if token.ent_iob_ == "O" else f"{token.ent_iob_}-{token.ent_type_}"
+            ents.append(ent)
             ent_ids.append(featurizer.ent_id(token.ent_iob_, token.ent_type_))
+            offsets.append((token.idx, token.idx + len(token.text)))
+        sentences = []
+        try:
+            idx = 0
+            for sent in doc.sents:
+                sentences.append((idx, idx + len(sent)))
+                idx += len(sent)
+        except Exception:
+            sentences = [(0, len(words))]
     else:
         words, pos_ids, ent_ids = featurizer.tokenize_tag(text)
-    return {"word": words, "pos_id": pos_ids, "ent_id": ent_ids}
+        inv_pos = {v: k for k, v in featurizer.POS.items()}
+        inv_ent = {v: k for k, v in featurizer.ENT.items()}
+        lemmas = list(words)
+        pos = [inv_pos.get(p, "") for p in pos_ids]
+        ents = [inv_ent.get(e, "O") for e in ent_ids]
+        # token offsets over the pre_proc'd text
+        processed = featurizer.pre_proc(text.lower())
+        offsets = []
+        p = 0
+        for w in words:
+            found = processed.find(w, p)
+            if found < 0:
+                found = p
+            offsets.append((found, found + len(w)))
+            p = found + len(w)
+        sentences = [(0, len(words))]
+    return {
+        "word": words,
+        "lemma": lemmas,
+        "pos": pos,
+        "pos_id": pos_ids,
+        "ent": ents,
+        "ent_id": ent_ids,
+        "offsets": offsets,
+        "sentences": sentences,
+    }
+
+
+def char2id_sent(
+    words: Sequence[str], c2id: Dict[str, int], unk_id: int = 1
+) -> List[List[int]]:
+    """Per-word char ids with <STA>/<END> brackets (`CoQAUtils.py:127-132`)."""
+    sta, end = c2id["<STA>"], c2id["<END>"]
+    return [
+        [sta] + [c2id.get(c, unk_id) for c in w] + [end] for w in words
+    ]
+
+
+def get_raw_context_offsets(words: Sequence[str], raw_text: str) -> List[tuple]:
+    """Token offsets into the raw (unprocessed) text
+    (`CoQAPreprocess.get_raw_context_offsets:603-617`)."""
+    out = []
+    p = 0
+    for token in words:
+        while p < len(raw_text) and raw_text[p].isspace():
+            p += 1
+        if raw_text[p : p + len(token)] != token:
+            log.debug("offset mismatch for token %r", token)
+        out.append((p, p + len(token)))
+        p += len(token)
+    return out
 
 
 def token2id_sent(
@@ -438,19 +504,29 @@ class Preprocessor:
         (`CoQAPreprocess.py:355-416`)."""
         assert self.train_vocab is not None, "meta must be built before ids"
         w2id = {w: i for i, w in enumerate(self.train_vocab)}
+        c2id = (
+            {c: i for i, c in enumerate(self.train_char_vocab)}
+            if self.train_char_vocab
+            else None
+        )
+
+        def ids_for(ann):
+            ann["wordid"] = token2id_sent(ann["word"], w2id)
+            if c2id is not None:
+                ann["charid"] = char2id_sent(ann["word"], c2id)
+
         ocr_names, od_names, gram_names = self._names()
         for d in data:
-            d["annotated_question"]["wordid"] = token2id_sent(
-                d["annotated_question"]["word"], w2id
+            ids_for(d["annotated_question"])
+            d["raw_question_offsets"] = get_raw_context_offsets(
+                d["annotated_question"]["word"], d["question"].lower()
             )
             for name in ocr_names:
                 for item in d[name]:
-                    item["word"]["wordid"] = token2id_sent(item["word"]["word"], w2id)
+                    ids_for(item["word"])
             for name in od_names:
                 for item in d[name]:
-                    item["object"]["wordid"] = token2id_sent(
-                        item["object"]["word"], w2id
-                    )
+                    ids_for(item["object"])
             answers = d["orign_answers"]
             for gram_name in gram_names:
                 d[gram_name] = []

@@ -82,3 +82,52 @@ def ensemble_predict(
         for a in answers:
             votes[a] += w
     return votes.most_common(1)[0][0] if votes else ""
+
+
+def gen_upper_triangle_mask(context_len: int, max_len: int):
+    """Span-score mask: valid (start, end) pairs with end >= start and
+    span <= max_len (`CoQAUtils.gen_upper_triangle:163-175` as a boolean
+    mask; callers add it to start+end score grids)."""
+    import numpy as np
+
+    i = np.arange(context_len)[:, None]
+    j = np.arange(context_len)[None, :]
+    return (j >= i) & (j - i <= max_len - 1)
+
+
+def find_span(offsets, start: int, end: int):
+    """Map char (start, end) to token index span
+    (`CoQAPreprocess.find_span:660-668`)."""
+    start_index = end_index = -1
+    for i, off in enumerate(offsets):
+        if start_index < 0 or start >= off[0]:
+            start_index = i
+        if end_index < 0 and end <= off[1]:
+            end_index = i
+    return start_index, end_index
+
+
+def find_span_with_gt(context: str, offsets, ground_truth: str):
+    """Best-F1 token span for a ground-truth string
+    (`CoQAPreprocess.find_span_with_gt:640-658`)."""
+    best_f1 = 0.0
+    best_span = (len(offsets) - 1, len(offsets) - 1)
+    gt = normalize_answer(ground_truth).split()
+    candidates = [
+        i for i in range(len(offsets))
+        if context[offsets[i][0] : offsets[i][1]].lower() in gt
+    ]
+    for a in range(len(candidates)):
+        for b in range(a, len(candidates)):
+            i, j = candidates[a], candidates[b]
+            pred = normalize_answer(context[offsets[i][0] : offsets[j][1]]).split()
+            common = Counter(pred) & Counter(gt)
+            num_same = sum(common.values())
+            if num_same > 0:
+                precision = num_same / len(pred)
+                recall = num_same / len(gt)
+                f1 = 2 * precision * recall / (precision + recall)
+                if f1 > best_f1:
+                    best_f1 = f1
+                    best_span = (i, j)
+    return best_span

@@ -87,3 +87,16 @@ def test_meters_and_timers():
     with t.timer("x"):
         pass
     assert "x:" in t.report()
+
+
+def test_span_utilities():
+    from ruart_tpu.eval.coqa import find_span, find_span_with_gt, gen_upper_triangle_mask
+
+    m = gen_upper_triangle_mask(5, 3)
+    assert m.shape == (5, 5)
+    assert m[1, 1] and m[1, 3] and not m[1, 4] and not m[2, 0]
+
+    ctx = "the red stop sign"
+    offsets = [(0, 3), (4, 7), (8, 12), (13, 17)]
+    assert find_span(offsets, 8, 12) == (2, 2)
+    assert find_span_with_gt(ctx, offsets, "stop sign") == (2, 3)

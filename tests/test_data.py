@@ -161,3 +161,23 @@ def test_batch_iterator_and_prefetch(pipeline_env):
         assert gt is not None
         n += 1
     assert n == len(sampler)
+
+
+def test_preprocessed_schema_completeness(pipeline_env):
+    """Artifact schema parity: annotated tokens carry the reference's full
+    field set (word/lemma/pos/pos_id/ent/ent_id/offsets/sentences/wordid/
+    charid) plus raw_question_offsets (`CoQAPreprocess.py:566-617`)."""
+    cfg, pre, vocab, char_vocab, emb, root = pipeline_env
+    train = _load_split(cfg, "train")
+    d = train["data"][0]
+    ann = d["annotated_question"]
+    for field in ("word", "lemma", "pos", "pos_id", "ent", "ent_id",
+                  "offsets", "sentences", "wordid", "charid"):
+        assert field in ann, field
+    n = len(ann["word"])
+    assert len(ann["charid"]) == n
+    # charid rows bracketed with <STA>/<END>
+    sta = char_vocab.index("<STA>")
+    end = char_vocab.index("<END>")
+    assert all(row[0] == sta and row[-1] == end for row in ann["charid"])
+    assert len(d["raw_question_offsets"]) == n
