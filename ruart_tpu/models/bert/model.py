@@ -120,18 +120,25 @@ class BertSelfAttention(nn.Module):
             ctx = grouped_attention(qp, kp, vp, bias_rows, heads=H)
             return ctx.astype(dt)
 
-        def split_heads(x):
-            return x.reshape(*x.shape[:-1], H, dh).transpose(0, 2, 1, 3)
-
-        drop = None
+        # head-major einsum without explicit [B,H,L,D] transposes: XLA folds
+        # the layout into the GEMMs instead of materializing relayouts
+        B, L = hidden.shape[0], hidden.shape[1]
+        q = qp.reshape(B, L, H, dh)
+        k = kp.reshape(B, L, H, dh)
+        v = vp.reshape(B, L, H, dh)
+        scores = jnp.einsum(
+            "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(dh))
+        scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         if not deterministic and c.attention_probs_dropout_prob > 0:
-            dropout = nn.Dropout(c.attention_probs_dropout_prob)
-            drop = lambda p: dropout(p, deterministic=False)
-        ctx = xla_attention(
-            split_heads(qp), split_heads(kp), split_heads(vp), bias, drop
+            probs = nn.Dropout(c.attention_probs_dropout_prob)(
+                probs, deterministic=False
+            )
+        ctx = jnp.einsum(
+            "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
         )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(*hidden.shape[:-1], D)
-        return ctx.astype(dt)
+        return ctx.reshape(B, L, D).astype(dt)
 
 
 class BertLayer(nn.Module):
