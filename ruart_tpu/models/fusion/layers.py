@@ -175,6 +175,10 @@ class Attention(nn.Module):
             eye = jnp.eye(scores.shape[1], dtype=bool)[None]
             scores = jnp.where(eye, NEG_INF, scores)
         alpha = jax.nn.softmax(scores, axis=-1)
+        # expose attention maps to capture_intermediates (the reference's
+        # att_score debugging surface, `SDNet.py:253-258`); no-op unless the
+        # caller passes mutable=['intermediates']
+        self.sow("intermediates", "alpha", alpha)
         attended = jnp.einsum(
             "bij,bjd->bid", alpha, x3, preferred_element_type=jnp.float32
         )

@@ -128,3 +128,20 @@ def test_es_post_process_path(shipped_conf_opt):
     scores = model.apply(params, q, ocr, od)
     assert scores.shape == (2, cfg.max_ocr_num + 1)
     assert not np.isnan(np.asarray(scores)).any()
+
+
+def test_attention_map_extraction(shipped_conf_opt):
+    """att_score-equivalent: every Attention module's alpha is recoverable
+    via forward_with_attention (reference SDNet.py:253-258 surface)."""
+    from ruart_tpu.models.fusion.introspect import forward_with_attention
+
+    cfg, spec, (q, ocr, od, gt), model, params = tiny_model_and_params(shipped_conf_opt)
+    scores, alphas = forward_with_attention(model, params, q, ocr, od)
+    assert scores.shape[0] == 2
+    assert alphas, "no attention maps captured"
+    # at least prealign + 3 deep-attention levels + self/qk attentions
+    assert len(alphas) >= 6
+    for path, a in alphas.items():
+        arr = np.asarray(a)
+        assert arr.ndim == 3, (path, arr.shape)
+        np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-4)
