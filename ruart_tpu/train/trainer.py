@@ -337,6 +337,23 @@ class Trainer:
             if os.path.exists(model_path):
                 self.load_model(model_path)
 
+        if "DEBUG" in self.opt:
+            # data-path dry run: iterate every split through the pipeline
+            # without touching the model and dump length histograms
+            # (`SDNetTrainer.py:67-79`; we return instead of assert False)
+            from ruart_tpu.data.debug import dump_debug_scan
+
+            for label in ("train", "val", "test"):
+                try:
+                    raw = self._load_split(label)
+                except FileNotFoundError:
+                    continue
+                ds = self._dataset(raw, "test" if label == "test" else "train")
+                paths = dump_debug_scan(ds, label, self.save_folder or ".")
+                log.info("DEBUG scan %s -> %s", label, paths)
+            log.info("DEBUG data dry run complete")
+            return
+
         train_raw = self._load_split("train")
         val_raw = self._load_split("val")
         train_data = self._dataset(train_raw, "train")
