@@ -334,8 +334,11 @@ class Trainer:
 
         if "RESUME" in self.opt and "MODEL_PATH" in self.opt:
             model_path = os.path.join(self.opt["datadir"], self.opt["MODEL_PATH"])
-            if os.path.exists(model_path):
-                self.load_model(model_path)
+            if not os.path.exists(model_path):
+                # the reference crashes inside torch.load here; failing loudly
+                # beats silently training from scratch
+                raise FileNotFoundError(f"RESUME checkpoint not found: {model_path}")
+            self.load_model(model_path)
 
         if "DEBUG" in self.opt:
             # data-path dry run: iterate every split through the pipeline
@@ -404,8 +407,11 @@ class Trainer:
         test_raw = self._load_split("test")
         if "RESUME" in self.opt and "MODEL_PATH" in self.opt:
             model_path = os.path.join(self.opt["datadir"], self.opt["MODEL_PATH"])
-            if os.path.exists(model_path):
-                self.load_model(model_path)
+            if not os.path.exists(model_path):
+                # a typo'd MODEL_PATH must not silently emit a random-weights
+                # submission (reference crashes in torch.load, `:243-244`)
+                raise FileNotFoundError(f"RESUME checkpoint not found: {model_path}")
+            self.load_model(model_path)
         test_data = self._dataset(test_raw, "test")
         return self.run_eval(test_data, 0, mode="test")
 
