@@ -40,6 +40,13 @@ class Collator:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.num_scores = cfg.dims.num_scores
+        # opt-in BERT candidate dedup: real batches repeat candidate strings
+        # heavily (the <OCR> sentinel appears once per question; ES and
+        # n-gram sources overlap), and the encoder output depends only on
+        # the piece-id row — encode unique rows, gather back on device.
+        # bert_dedup_frac caps the unique table at frac * B * N rows
+        # (rounded up to 64); batches with more uniques fall back silently.
+        self.dedup_frac = float(cfg.opt.get("bert_dedup_frac", 0.0))
 
     # -- candidate block -------------------------------------------------
     def _collate_items(
@@ -86,7 +93,22 @@ class Collator:
                     )[0]
         if has_bert:
             out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+            if self.dedup_frac > 0:
+                self._add_dedup(out, B, max_num, max_bert_len)
         return out
+
+    def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
+        """Attach bert_unique [cap, Lb] + bert_inverse [B, N] when the
+        batch's unique piece-id rows fit the configured cap."""
+        flat = out["bert"].reshape(B * max_num, max_bert_len)
+        unique, inverse = np.unique(flat, axis=0, return_inverse=True)
+        cap = int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64
+        cap = max(cap, 64)
+        if unique.shape[0] > cap:
+            return  # fallback: model uses the dense path
+        pad = np.zeros((cap - unique.shape[0], max_bert_len), dtype=np.int32)
+        out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
+        out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
 
     # -- question block --------------------------------------------------
     def _collate_q(self, q_list: Sequence[dict]) -> Dict[str, np.ndarray]:

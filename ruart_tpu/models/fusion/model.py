@@ -188,8 +188,16 @@ class RUArtModel(nn.Module):
         when LOCK_BERT (`SDNet.py:91-94`); BERT always runs dropout-free
         (`Bert.py:43`)."""
         s = self.spec
-        ids = item["bert"]
-        mask = item["bert_mask"]
+        # candidate dedup (opt-in, see Collator._add_dedup): the encoder
+        # output depends only on the piece-id row, so encode unique rows and
+        # gather back; per-row offsets still pool each duplicate's own words
+        dedup = "bert_unique" in item
+        if dedup:
+            ids = item["bert_unique"]
+            mask = (ids != 0).astype(jnp.int32)
+        else:
+            ids = item["bert"]
+            mask = item["bert_mask"]
         if s.bert_linear_combine:
             # fold softmax(alpha)*gamma into the encoder's in-loop layer
             # accumulation: never materializes the [L, B, Lb, D] stack
@@ -203,6 +211,8 @@ class RUArtModel(nn.Module):
             if s.lock_bert:
                 all_layers = jax.lax.stop_gradient(all_layers)
             combined = all_layers[-1]
+        if dedup:
+            combined = jnp.take(combined, item["bert_inverse"], axis=0)
         pooled = subword_to_word_pooling(combined, item["bert_offsets"], word_mask)
         if s.bert_linear_combine:
             pooled = dropout_fn(
@@ -260,7 +270,13 @@ class RUArtModel(nn.Module):
         word_emb [B, N, L, vocab_dim])."""
         s = self.spec
         B, N, L = item["fasttext" if s.use_fasttext else "glove"].shape[:3]
-        flat = {k: _flatten_cand(v) for k, v in item.items() if k not in ("num",)}
+        # bert_unique is batch-global [cap, Lb]; everything else flattens
+        # per-candidate to [B*N, ...]
+        flat = {
+            k: (v if k == "bert_unique" else _flatten_cand(v))
+            for k, v in item.items()
+            if k not in ("num",)
+        }
 
         emb, extras = self._embed(flat, s.ocr_embedding, s.ocr_emb_initial, deterministic)
         word_emb = extras["word_emb"]                             # [B*N, L, 300]

@@ -1,0 +1,70 @@
+"""BERT candidate dedup (bert_dedup_frac): must be numerically identical to
+the dense path — the encoder output depends only on the piece-id row."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.core.presets import TINY_OVERRIDES
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.synthetic import make_synthetic_batch
+from ruart_tpu.models.bert.config import BertConfig
+from ruart_tpu.models.fusion.model import RUArtModel
+from ruart_tpu.models.fusion.spec import ModelSpec
+
+
+def test_dedup_matches_dense(shipped_conf_opt):
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, gt = make_synthetic_batch(spec, cfg, 2, seed=0)
+
+    # plant heavy duplication: copy candidate 0's features over candidates 1..3
+    for block in (ocr,):
+        for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+            block[k][:, 1:4] = block[k][:, 0:1]
+        block["len"][:, 1:4] = block["len"][:, 0:1]
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+    dense = np.asarray(model.apply(params, jq, jocr, jod))
+
+    # dedup batch: attach unique/inverse exactly as the Collator does
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    B, N, Lb = ocr["bert"].shape
+    ocr_d = dict(ocr)
+    out = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_unique" in out, "dedup should fit with frac=1.0"
+    assert out["bert_unique"].shape[0] % 64 == 0
+    # duplicated candidates share an inverse index
+    inv = out["bert_inverse"]
+    assert (inv[:, 1:4] == inv[:, 0:1]).all()
+    ocr_d["bert_unique"] = out["bert_unique"]
+    ocr_d["bert_inverse"] = out["bert_inverse"]
+
+    deduped = np.asarray(
+        model.apply(params, jq, jax.tree.map(jnp.asarray, ocr_d), jod)
+    )
+    np.testing.assert_allclose(deduped, dense, atol=2e-5)
+
+
+def test_dedup_cap_fallback(shipped_conf_opt):
+    """When uniques exceed the cap, the collator omits the dedup keys and
+    the model silently uses the dense path."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["bert_dedup_frac"] = 0.01  # cap 64 rows; 2*12=24... force tiny cap
+    coll = Collator(Config(opt))
+    rng = np.random.RandomState(0)
+    B, N, Lb = 8, 12, 10
+    out = {"bert": rng.randint(1, 60, size=(B, N, Lb)).astype(np.int32)}
+    out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+    coll._add_dedup(out, B, N, Lb)
+    # 96 random rows are all unique > cap 64 -> fallback
+    assert "bert_unique" not in out
