@@ -48,30 +48,45 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _grouped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
-                    scale: float):
-    """One program handles a group of G rows in model layout [G, L, H*dh]:
-    per-head QKᵀ → softmax → PV entirely in VMEM, no [B,H,L,D] transposes
-    and no [B,H,L,L] HBM round trip."""
+def _grouped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
+                    heads: int, scale: float):
+    """One program = a group of G rows with FULL [L, D] tiles (Mosaic
+    requires the last block dims be full or 8/128-divisible; dh=64 head
+    slices are not). Heads separate via lane masks: masking q's lanes to
+    head h makes the full-width [L,D]x[D,L] dot equal that head's QKᵀ, and
+    (P @ V) masked back to head-h lanes assembles the output in place —
+    only 2-D dots and elementwise ops, which Mosaic always lowers."""
     G, L, D = q_ref.shape
     dh = D // heads
-    q = q_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
-    k = k_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
-    v = v_ref[...].astype(jnp.float32).reshape(G, L, heads, dh)
-    bias = bias_ref[...].astype(jnp.float32)          # [G, L]
-    # batched over (G, H): contraction on dh
-    s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 2), (0, 2))), preferred_element_type=jnp.float32
-    )                                                 # [G, H, L, L]
-    s = s * scale + bias[:, None, None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    ctx = jax.lax.dot_general(
-        p, v, (((3,), (1,)), ((0, 1), (0, 2))), preferred_element_type=jnp.float32
-    )                                                 # [G, H, L, dh]
-    ctx = jnp.moveaxis(ctx, 1, 2).reshape(G, L, D)
-    o_ref[...] = ctx.astype(o_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // dh  # [1, D]
+
+    def g_body(g, _):
+        # dynamic indexing must go through the refs (pl.ds); dynamic_slice
+        # on loaded values is not lowerable on TPU
+        qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)   # [L, D]
+        kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+        vg = v_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+        bg = bias_ref[pl.ds(g, 1), :].astype(jnp.float32)      # [1, L]
+
+        def h_body(h, acc):
+            m = (lane == h).astype(jnp.float32)       # [1, D]
+            s = jax.lax.dot_general(
+                qg * m, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bg                            # [L, L]
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jnp.dot(p, vg, preferred_element_type=jnp.float32)
+            return acc + ctx * m
+
+        out = jax.lax.fori_loop(
+            0, heads, h_body, jnp.zeros((L, D), jnp.float32)
+        )
+        o_ref[pl.ds(g, 1), :, :] = out[None].astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, g_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret", "group"))
@@ -103,7 +118,7 @@ def grouped_attention(
 
     blk = pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_grouped_kernel, heads=heads, scale=scale),
+        functools.partial(_grouped_kernel, group=G, heads=heads, scale=scale),
         out_shape=jax.ShapeDtypeStruct((Bp, L, D), q.dtype),
         grid=(Bp // G,),
         in_specs=[
