@@ -8,7 +8,7 @@ Three implementations with one contract (604-dim binary vector, layout and
   candidate lists in one FFI call).
 * :func:`build_phoc_py` — pure-Python float32-faithful oracle used to
   cross-check the native kernel in tests.
-* the on-device vectorized op lives in :mod:`ruart_tpu.text.phoc_jax`.
+* the on-device vectorized op lives in :mod:`ruart_tpu.ops.phoc`.
 
 Input filtering matches the reference wrapper (`Utils/CoQAUtils.py:68-73`):
 lowercase, strip every character outside [a-z0-9], then encode.

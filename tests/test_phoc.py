@@ -3,7 +3,7 @@ import pytest
 
 from ruart_tpu.core.constants import PHOC_DIM
 from ruart_tpu.text import phoc as phoc_mod
-from ruart_tpu.text import phoc_jax
+from ruart_tpu.ops import phoc as phoc_jax
 
 WORDS = [
     "a", "ab", "abc", "the", "hello", "beyond", "stop",
