@@ -31,24 +31,39 @@ def normalize_answer(s: str) -> str:
     return white_space_fix(remove_articles(remove_punc(s.lower())))
 
 
+def _pair_f1(pred_tokens: List[str], gt_tokens: List[str]) -> float:
+    common = Counter(pred_tokens) & Counter(gt_tokens)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred_tokens)
+    recall = num_same / len(gt_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
 def f1_score(pred: str, answers: Sequence[str]) -> float:
-    """Token-level F1, max over ground truths (`CoQAUtils.py:653-691`)."""
-    best = 0.0
+    """Token-level F1 (`CoQAUtils._f1_score:653-681`).
+
+    With a single ground truth this is plain F1.  With multiple ground
+    truths the reference does NOT take the max: it averages, over each
+    held-out answer i, the max F1 against the remaining answers
+    (leave-one-out, `CoQAUtils.py:672-680`) — a human-agreement-style
+    normalization so one odd annotator answer cannot grant full credit.
+    """
+    if pred is None or answers is None:
+        return 0.0
+    if len(answers) == 0:
+        return 1.0 if len(pred) == 0 else 0.0
     pred_tokens = normalize_answer(pred).split()
-    for gt in answers:
-        gt_tokens = normalize_answer(gt).split()
-        common = Counter(pred_tokens) & Counter(gt_tokens)
-        num_same = sum(common.values())
-        if len(pred_tokens) == 0 or len(gt_tokens) == 0:
-            f1 = float(pred_tokens == gt_tokens)
-        elif num_same == 0:
-            f1 = 0.0
-        else:
-            precision = num_same / len(pred_tokens)
-            recall = num_same / len(gt_tokens)
-            f1 = 2 * precision * recall / (precision + recall)
-        best = max(best, f1)
-    return best
+    scores = [
+        _pair_f1(pred_tokens, normalize_answer(gt).split()) for gt in answers
+    ]
+    if len(scores) == 1:
+        return scores[0]
+    total = 0.0
+    for i in range(len(scores)):
+        total += max(scores[:i] + scores[i + 1 :])
+    return total / len(scores)
 
 
 def exact_match(pred: str, answers: Sequence[str]) -> float:
@@ -74,14 +89,33 @@ def score_predictions(
 
 
 def ensemble_predict(
-    candidate_lists: Sequence[Sequence[str]], weights: Sequence[float]
-) -> str:
-    """Weighted vote over per-model answers (`CoQAUtils.py:638-651`)."""
-    votes: Counter = Counter()
-    for answers, w in zip(candidate_lists, weights):
-        for a in answers:
-            votes[a] += w
-    return votes.most_common(1)[0][0] if votes else ""
+    pred_list: Sequence[Sequence[str]],
+    score_list: Sequence[Sequence[float]],
+    vote_by_cnt: bool = False,
+):
+    """Per-example ensemble vote over models (`CoQAUtils.py:638-651`).
+
+    ``pred_list[m][e]`` / ``score_list[m][e]`` are model m's answer and
+    confidence for example e.  Each example's answer is the phrase with
+    the highest summed score (or count if ``vote_by_cnt``), ties broken
+    by earliest model index (the reference's ``firstappear = -index``).
+    Returns (predictions, best_scores), one per example.
+    """
+    predictions: List[str] = []
+    best_scores: List[float] = []
+    for phrases, scores in zip(zip(*pred_list), zip(*score_list)):
+        totals: Dict[str, float] = {}
+        first: Dict[str, int] = {}
+        for index, (phrase, s) in enumerate(zip(phrases, scores)):
+            totals[phrase] = totals.get(phrase, 0.0) + (
+                1.0 if vote_by_cnt else s
+            )
+            if phrase not in first:
+                first[phrase] = -index
+        winner = max(totals.items(), key=lambda kv: (kv[1], first[kv[0]]))
+        predictions.append(winner[0])
+        best_scores.append(winner[1])
+    return predictions, best_scores
 
 
 def gen_upper_triangle_mask(context_len: int, max_len: int):

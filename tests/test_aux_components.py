@@ -24,7 +24,32 @@ def test_coqa_scoring():
     assert exact_match("A dog", ["dog", "wolf"]) == 1.0
     res = score_predictions({"q1": "dog"}, {"q1": ["dog"], "q2": ["cat"]})
     assert res["em"] == 50.0
-    assert ensemble_predict([["a", "b"], ["b"]], [1.0, 2.0]) == "b"
+
+
+def test_coqa_f1_multi_answer_is_leave_one_out_not_max():
+    # pred matches exactly one of three GTs: max-over-GT would give 1.0,
+    # the reference's leave-one-out average (CoQAUtils.py:669-680) gives
+    # mean(max(scores without i)) = (0 + 1 + 1) / 3.
+    assert f1_score("alpha", ["alpha", "beta", "gamma"]) == pytest.approx(2 / 3)
+    # single-GT path is plain F1 (no leave-one-out)
+    assert f1_score("alpha", ["alpha"]) == 1.0
+    # empty-GT edge cases (CoQAUtils.py:667-668)
+    assert f1_score("", []) == 1.0
+    assert f1_score("x", []) == 0.0
+    assert f1_score(None, ["a"]) == 0.0
+
+
+def test_coqa_ensemble_vote_semantics():
+    # two models, two examples; model confidences weigh the vote
+    # (CoQAUtils.ensemble_predict:638-651).
+    preds = [["a", "x"], ["b", "x"]]
+    scores = [[1.0, 0.5], [2.0, 0.25]]
+    answers, best = ensemble_predict(preds, scores)
+    assert answers == ["b", "x"]
+    assert best == [2.0, 0.75]
+    # vote_by_cnt: ties broken by earliest model (firstappear = -index)
+    answers, _ = ensemble_predict([["a"], ["b"]], [[0.1], [9.9]], vote_by_cnt=True)
+    assert answers == ["a"]
 
 
 def test_pooling_matches_torch_semantics():
