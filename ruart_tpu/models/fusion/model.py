@@ -186,7 +186,10 @@ class RUArtModel(nn.Module):
     def _bert_words(self, item, word_mask, deterministic) -> jax.Array:
         """Shared BERT encode + combine + word pooling. Gradients are cut
         when LOCK_BERT (`SDNet.py:91-94`); BERT always runs dropout-free
-        (`Bert.py:43`)."""
+        (`Bert.py:43`). Sequences longer than ``max_position_embeddings``
+        are chunked at 512 and concatenated on the sequence axis BEFORE
+        pooling, positions restarting per chunk — the reference's quirk
+        (`Bert.py:94-101,133-140`), unrolled statically at trace time."""
         s = self.spec
         # candidate dedup (opt-in, see Collator._add_dedup): the encoder
         # output depends only on the piece-id row, so encode unique rows and
@@ -198,16 +201,35 @@ class RUArtModel(nn.Module):
         else:
             ids = item["bert"]
             mask = item["bert_mask"]
+        max_len = s.bert.max_position_embeddings
+        spans = [
+            (p, min(p + max_len, ids.shape[-1]))
+            for p in range(0, ids.shape[-1], max_len)
+        ]
         if s.bert_linear_combine:
             # fold softmax(alpha)*gamma into the encoder's in-loop layer
             # accumulation: never materializes the [L, B, Lb, D] stack
             w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
-            combined, _ = self.Bert(
-                ids, mask, deterministic=True,
-                combine_weights=w, stop_layer_gradients=s.lock_bert,
+            chunks = [
+                self.Bert(
+                    ids[:, a:b], mask[:, a:b], deterministic=True,
+                    combine_weights=w, stop_layer_gradients=s.lock_bert,
+                )[0]
+                for a, b in spans
+            ]
+            combined = (
+                chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=1)
             )
         else:
-            all_layers, _ = self.Bert(ids, mask, deterministic=True)
+            chunks = [
+                self.Bert(ids[:, a:b], mask[:, a:b], deterministic=True)[0]
+                for a, b in spans
+            ]
+            all_layers = (
+                chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=2)
+            )
             if s.lock_bert:
                 all_layers = jax.lax.stop_gradient(all_layers)
             combined = all_layers[-1]

@@ -145,3 +145,39 @@ def test_attention_map_extraction(shipped_conf_opt):
         arr = np.asarray(a)
         assert arr.ndim == 3, (path, arr.shape)
         np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_bert_chunking_wired_into_model(shipped_conf_opt):
+    """Conf-driven >512 chunking (`Bert.py:94-101`): when a conf's bert
+    lengths exceed max_position_embeddings, RUArtModel._bert_words encodes
+    fixed chunks with restarted positions and concatenates before pooling.
+
+    Invariance check: with the q piece ids duplicated across the two chunks,
+    pooling a word from chunk 1 and pooling the mirrored span in chunk 2
+    must give identical scores — true only if positions restart per chunk.
+    """
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    # max_q_bert_len=12 / max_ocr_bert_len=10 / max_od_bert_len=8 all exceed
+    # max_position_embeddings=6 -> every BERT call runs the chunked path
+    spec = ModelSpec.from_config(
+        cfg, BertConfig.tiny(vocab_size=64, max_position_embeddings=6)
+    )
+    q, ocr, od, gt = make_synthetic_batch(spec, cfg, 2, seed=3)
+    half = 6
+    q["bert"][:, :half] = np.maximum(q["bert"][:, :half], 1)  # no pad bits
+    q["bert"][:, half:] = q["bert"][:, :half]
+    q["bert_mask"] = (q["bert"] != 0).astype(np.int32)
+    q["bert_offsets"][:] = np.clip(q["bert_offsets"], 0, half - 1)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = to_jnp(q), to_jnp(ocr), to_jnp(od)
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+    s1 = np.asarray(model.apply(params, jq, jocr, jod))
+    assert not np.isnan(s1).any()
+
+    q2 = dict(q)
+    q2["bert_offsets"] = q["bert_offsets"] + half  # mirrored chunk-2 spans
+    s2 = np.asarray(model.apply(params, to_jnp(q2), jocr, jod))
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
