@@ -199,7 +199,8 @@ class Trainer:
         self.loss_fn = make_loss_fn(str(self.opt.get("loss", "BCE_D1")))
         row_pinner = make_row_pinner(params, self.spec, tune_partial)
         self.train_step = make_train_step(
-            self.model, self.tx, self.loss_fn, row_pinner
+            self.model, self.tx, self.loss_fn, row_pinner,
+            debug_nans="DEBUG_NANS" in self.opt,
         )
         self.eval_step = make_eval_step(self.model, self.loss_fn)
 

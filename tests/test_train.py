@@ -125,3 +125,54 @@ def test_save_for_predict_drops_bert(tmp_path):
     # Bert keys keep init (they were dropped from the file)
     flat = ckpt.flatten_tree(loaded)
     assert "params/head/w" in flat
+
+
+def _tiny_train_step(debug_nans: bool):
+    from ruart_tpu.core.presets import tiny_config
+    from ruart_tpu.data.synthetic import make_synthetic_batch
+    from ruart_tpu.models.bert.config import BertConfig
+    from ruart_tpu.models.fusion.model import RUArtModel
+    from ruart_tpu.models.fusion.spec import ModelSpec
+    from ruart_tpu.train.loss import make_loss_fn
+    from ruart_tpu.train.optim import make_optimizer, make_row_pinner
+    from ruart_tpu.train.train_step import init_train_state, make_train_step
+
+    cfg = tiny_config(batch_size=2)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    model = RUArtModel(spec)
+    q, ocr, od, targets = make_synthetic_batch(spec, cfg, 2, seed=0)
+    q, ocr, od = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), q, ocr, od)
+    tx = make_optimizer("#", 1e-3, 10.0, params, spec, tune_partial=True)
+    row_pinner = make_row_pinner(params, spec, tune_partial_rows=8)
+    step = make_train_step(
+        model, tx, make_loss_fn("BCE_D1"), row_pinner,
+        donate=False, debug_nans=debug_nans,
+    )
+    state = init_train_state(params, tx, seed=0)
+    return step, state, (q, ocr, od, jnp.asarray(targets))
+
+
+def test_debug_nans_clean_step_passes():
+    """DEBUG_NANS instrumentation must not fire on a healthy batch (the
+    reference's sentinels are silent in normal training,
+    SDNetTrainer.py:339-359)."""
+    step, state, (q, ocr, od, tgt) = _tiny_train_step(debug_nans=True)
+    new_state, loss = step(state, q, ocr, od, tgt)
+    assert np.isfinite(float(loss))
+
+
+def test_debug_nans_catches_planted_nan():
+    """A NaN planted in the float inputs must raise with a checkify error,
+    mirroring the reference's in-graph asserts (Layers.py:169,290;
+    SDNetTrainer.py:224-226,348-351)."""
+    step, state, (q, ocr, od, tgt) = _tiny_train_step(debug_nans=True)
+
+    bad_tgt = tgt.at[0, 0].set(jnp.nan)
+    with pytest.raises(Exception, match="(?i)nan"):
+        step(state, q, ocr, od, bad_tgt)
+
+    bad_ocr = dict(ocr)
+    bad_ocr["position"] = ocr["position"].at[0, 0, 0].set(jnp.nan)
+    with pytest.raises(Exception, match="(?i)nan"):
+        step(state, q, bad_ocr, od, tgt)
