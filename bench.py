@@ -5,10 +5,12 @@ Measures questions/sec of the full jitted forward (frozen BERT-base over
 question + 100 OCR + 30 OD candidates, fusion stack, candidate scoring) at
 the shipped ST-VQA shapes on the default device (TPU when available).
 
-``vs_baseline`` compares against the CPU batch-1 path (the reference's
-deployment shape: `main_test.py` single-process CPU/GPU inference,
-BASELINE.md config 1). The baseline is measured once in a CPU subprocess
-and cached in ``.bench_baseline.json``.
+``vs_baseline`` compares against the ACTUAL torch reference model timed on
+CPU at batch 1 (the reference's deployment shape: `main_test.py`
+single-process inference; see ``bench_reference.py``). The baseline is
+measured once in a subprocess and cached in ``.bench_baseline.json``;
+the older self-measured JAX-CPU number is kept there under its own key
+for comparison but no longer used as the denominator.
 
 Prints exactly one JSON line:
   {"metric": "questions_per_sec", "value": N, "unit": "q/s", "vs_baseline": R}
@@ -24,25 +26,37 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_baseline.json")
-BASELINE_KEY = "stvqa_bertbase_b1_cpu_v1"
-
-BASELINE_SNIPPET = r"""
-import json, sys, time
-sys.path.insert(0, {repo!r})
-import jax
-jax.config.update("jax_platforms", "cpu")
-from bench import build_flagship, measure
-fn, params, batch = build_flagship(batch_size=1)
-qps = measure(fn, params, batch, iters=3, warmup=1)
-print("BASELINE_QPS=" + repr(qps))
-"""
+BASELINE_KEY = "torch_reference_b1_cpu_v1"
+SELF_BASELINE_KEY = "stvqa_bertbase_b1_cpu_v1"  # legacy self-measured JAX-CPU
 
 
-def build_flagship(batch_size: int, dtype: str = "float32"):
+def _add_realistic_duplication(block, unique_frac: float, seed: int):
+    """Rewrite candidate rows so only ~unique_frac of them are distinct —
+    the shape real batches have (scene text repeats; the sentinel appears
+    once per question; ES/n-gram sources overlap). Measured through the
+    real pipeline on realistic synthetic data: OCR ~6-10% unique, OD
+    ~0.5-2% (PROGRESS_NOTES.md round 2); the bench uses a CONSERVATIVE
+    12.5% for OCR so the headline doesn't lean on the friendliest rate."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    B, N = block["bert"].shape[:2]
+    pool = max(1, int(unique_frac * B * N))
+    donors_b = rng.randint(0, B, size=pool)
+    donors_n = rng.randint(0, N, size=pool)
+    assign = rng.randint(0, pool, size=(B, N))
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        block[k][:] = block[k][donors_b[assign], donors_n[assign]]
+    block["len"][:] = block["len"][donors_b[assign], donors_n[assign]]
+    block["bert_mask"] = (block["bert"] != 0).astype(np.int32)
+
+
+def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True):
     import jax
     import jax.numpy as jnp
 
     from ruart_tpu.core.presets import stvqa_config
+    from ruart_tpu.data.collate import Collator
     from ruart_tpu.data.synthetic import make_synthetic_batch
     from ruart_tpu.models.bert.config import BertConfig
     from ruart_tpu.models.fusion.model import RUArtModel
@@ -52,6 +66,15 @@ def build_flagship(batch_size: int, dtype: str = "float32"):
     spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
     model = RUArtModel(spec)
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
+    _add_realistic_duplication(ocr, 0.125, seed=1)
+    _add_realistic_duplication(od, 0.03, seed=2)
+    if dedup:
+        # attach bert_unique/bert_inverse exactly as the default Collator
+        # does for every real batch (bert_dedup_frac defaults to 0.25)
+        coll = Collator(cfg)
+        for block in (ocr, od):
+            B, N, Lb = block["bert"].shape
+            coll._add_dedup(block, B, N, Lb)
     q, ocr, od = (
         {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
     )
@@ -82,29 +105,31 @@ def measure(fn, params, batch, iters: int = 10, warmup: int = 2) -> float:
 
 
 def get_baseline() -> float:
+    cache = {}
     if os.path.exists(CACHE):
         try:
             with open(CACHE) as f:
                 cache = json.load(f)
-            if BASELINE_KEY in cache:
-                return float(cache[BASELINE_KEY])
         except Exception:
-            pass
+            cache = {}
+    if BASELINE_KEY in cache:
+        return float(cache[BASELINE_KEY])
     proc = subprocess.run(
-        [sys.executable, "-c", BASELINE_SNIPPET.format(repo=REPO)],
+        [sys.executable, os.path.join(REPO, "bench_reference.py")],
         capture_output=True, text=True, timeout=3600,
     )
     qps = None
     for line in proc.stdout.splitlines():
-        if line.startswith("BASELINE_QPS="):
+        if line.startswith("TORCH_BASELINE_QPS="):
             qps = float(line.split("=", 1)[1])
     if qps is None:
         raise RuntimeError(
             f"baseline subprocess failed:\n{proc.stdout}\n{proc.stderr}"
         )
+    cache[BASELINE_KEY] = qps
     try:
         with open(CACHE, "w") as f:
-            json.dump({BASELINE_KEY: qps}, f)
+            json.dump(cache, f)
     except OSError:
         pass
     return qps

@@ -9,11 +9,41 @@ id != 0, `num`/`len` carry candidate/word counts. Unlike the reference
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ruart_tpu.core.config import Config
+
+log = logging.getLogger(__name__)
+
+
+def _parse_buckets(raw, cap: int, floor: int = 1) -> Tuple[int, ...]:
+    """Bucket ladder for one shape dimension, largest = the conf cap.
+
+    ``raw`` is the conf value: an int N generates N power-of-2 steps
+    (cap, cap/2, ... , each >= floor); a comma list gives explicit sizes
+    (the cap is appended if missing). Returns ascending sizes."""
+    if raw in (None, "", 0, 1, False):
+        return (cap,)
+    if isinstance(raw, str):
+        sizes = {int(t) for t in raw.split(",") if t.strip()}
+    else:
+        sizes, size = set(), cap
+        for _ in range(int(raw)):
+            sizes.add(size)
+            size = max((size + 1) // 2, floor)
+    sizes = {min(max(s, floor), cap) for s in sizes}
+    sizes.add(cap)
+    return tuple(sorted(sizes))
+
+
+def _pick_bucket(buckets: Sequence[int], needed: int) -> int:
+    for b in buckets:
+        if b >= needed:
+            return b
+    return buckets[-1]
 
 
 def _pad_ids(rows: Sequence[Sequence[int]], max_len: int) -> np.ndarray:
@@ -40,13 +70,35 @@ class Collator:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.num_scores = cfg.dims.num_scores
-        # opt-in BERT candidate dedup: real batches repeat candidate strings
-        # heavily (the <OCR> sentinel appears once per question; ES and
-        # n-gram sources overlap), and the encoder output depends only on
-        # the piece-id row — encode unique rows, gather back on device.
-        # bert_dedup_frac caps the unique table at frac * B * N rows
-        # (rounded up to 64); batches with more uniques fall back silently.
-        self.dedup_frac = float(cfg.opt.get("bert_dedup_frac", 0.0))
+        # BERT candidate dedup (ON by default): real batches repeat
+        # candidate strings heavily (the <OCR> sentinel appears once per
+        # question; ES and n-gram sources overlap; scene text repeats), and
+        # the encoder output depends only on the piece-id row — encode
+        # unique rows, gather back on device. bert_dedup_frac caps the
+        # unique table at frac * B * N rows (rounded up to 64); batches
+        # with more uniques fall back to the dense path (logged). The 0.25
+        # default is 2.5-4x above rates measured through the real pipeline
+        # on realistic synthetic data (OCR ~6-10% unique, OD ~0.5-2%;
+        # PROGRESS_NOTES.md round 2). Set bert_dedup_frac 0 to disable.
+        self.dedup_frac = float(cfg.opt.get("bert_dedup_frac", 0.25))
+        self.dedup_fallbacks = 0
+        # length-bucketed compilation (SURVEY §3.5 #5): per-batch shapes pad
+        # to the smallest bucket that fits instead of always the conf cap,
+        # so short batches skip most of the padded-candidate BERT work. The
+        # bucket ladders are FIXED per config -> the jit program count is
+        # bounded by len(num_buckets) * len(len_buckets) (no recompile
+        # storms). Off by default (single bucket = the reference's fixed
+        # caps); enable with `bucket_ocr_num 3` / explicit `25,50,100`
+        # lists, and `bucket_ocr_bert_len` for the wordpiece axis.
+        es_floor = (
+            int(cfg.opt.get("ES_ocr_len", 0)) + 2 if "useES" in cfg.opt else 1
+        )
+        self.ocr_num_buckets = _parse_buckets(
+            cfg.opt.get("bucket_ocr_num"), cfg.max_ocr_num, floor=es_floor
+        )
+        self.ocr_len_buckets = _parse_buckets(
+            cfg.opt.get("bucket_ocr_bert_len"), cfg.max_ocr_bert_len, floor=4
+        )
 
     # -- candidate block -------------------------------------------------
     def _collate_items(
@@ -104,8 +156,24 @@ class Collator:
         unique, inverse = np.unique(flat, axis=0, return_inverse=True)
         cap = int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64
         cap = max(cap, 64)
+        if cap >= B * max_num and self.dedup_frac < 1.0:
+            # the 64-row-aligned cap is no smaller than the dense batch at
+            # these shapes (tiny test batches): dedup cannot win, stay dense
+            # (frac >= 1 forces the dedup artifacts anyway, for tests)
+            return
         if unique.shape[0] > cap:
-            return  # fallback: model uses the dense path
+            # fallback: model uses the dense path (separate compiled
+            # program; frequent flips between the two waste compile time)
+            self.dedup_fallbacks += 1
+            log.log(
+                logging.WARNING if self.dedup_fallbacks == 1 else logging.DEBUG,
+                "bert dedup fallback #%d: %d unique rows > cap %d "
+                "(bert_dedup_frac %.3g of %d rows); raise bert_dedup_frac "
+                "if this is common",
+                self.dedup_fallbacks, unique.shape[0], cap,
+                self.dedup_frac, B * max_num,
+            )
+            return
         pad = np.zeros((cap - unique.shape[0], max_bert_len), dtype=np.int32)
         out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
         out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
@@ -130,12 +198,15 @@ class Collator:
         return out
 
     # -- labels ----------------------------------------------------------
-    def _collate_gt(self, gt_list: Sequence[Optional[dict]]) -> Optional[np.ndarray]:
+    def _collate_gt(
+        self, gt_list: Sequence[Optional[dict]], num_scores: Optional[int] = None
+    ) -> Optional[np.ndarray]:
         if not gt_list or gt_list[0] is None:
             return None
         B = len(gt_list)
-        out = np.zeros((B, self.num_scores), dtype=np.float32)
-        body = self.num_scores - (
+        num_scores = self.num_scores if num_scores is None else num_scores
+        out = np.zeros((B, num_scores), dtype=np.float32)
+        body = num_scores - (
             1 if "label_no_answer" in self.cfg.opt else 0
         )
         for b, gt in enumerate(gt_list):
@@ -146,17 +217,38 @@ class Collator:
         return out
 
     # -- entry point -----------------------------------------------------
+    def _ocr_buckets(self, ocr_items: Sequence[Sequence[dict]]) -> Tuple[int, int]:
+        """(num, bert_len) bucket for this batch's OCR block."""
+        if len(self.ocr_num_buckets) == 1 and len(self.ocr_len_buckets) == 1:
+            return self.ocr_num_buckets[0], self.ocr_len_buckets[0]
+        need_n = max((len(items) for items in ocr_items), default=1)
+        need_l = 1
+        for items in ocr_items:
+            for item in items:
+                if "bert" in item:
+                    need_l = max(need_l, len(item["bert"]))
+        return (
+            _pick_bucket(self.ocr_num_buckets, need_n),
+            _pick_bucket(self.ocr_len_buckets, need_l),
+        )
+
     def __call__(self, batch: Sequence[dict]):
         cfg = self.cfg
         q = self._collate_q([t["q"] for t in batch])
+        ocr_items = [t["ocr"] for t in batch]
+        n_bucket, l_bucket = self._ocr_buckets(ocr_items)
         ocr = self._collate_items(
-            [t["ocr"] for t in batch],
-            cfg.max_ocr_num, cfg.max_ocr_len, cfg.max_ocr_bert_len,
+            ocr_items, n_bucket, cfg.max_ocr_len, l_bucket,
         )
         od = self._collate_items(
             [t["od"] for t in batch],
             cfg.max_od_num, cfg.max_od_len, cfg.max_od_bert_len,
         )
-        gt = self._collate_gt([t["gt"] for t in batch])
+        # targets track the bucketed score width (fixed/yesno/no-answer
+        # slots are unaffected; masked pad columns carry zero labels)
+        gt = self._collate_gt(
+            [t["gt"] for t in batch],
+            num_scores=self.num_scores - cfg.max_ocr_num + n_bucket,
+        )
         extra = [t["extra_info"] for t in batch]
         return q, ocr, od, gt, extra

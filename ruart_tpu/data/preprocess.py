@@ -47,7 +47,10 @@ def _try_spacy():
     try:
         import spacy  # noqa
 
-        return spacy.load("en_core_web_sm", disable=["parser"])
+        nlp = spacy.load("en_core_web_sm", disable=["parser"])
+        for token in nlp("probe"):  # reject broken installs / test stubs
+            token.tag_, token.ent_iob_, token.lemma_, token.idx
+        return nlp
     except Exception:
         return None
 

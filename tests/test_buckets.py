@@ -1,0 +1,140 @@
+"""Length-bucketed compilation (SURVEY §3.5 #5, `VQA_Dataset.py:476-517`):
+short batches pad to the smallest fitting bucket instead of the conf caps,
+with a FIXED bucket ladder so the compiled-program count stays bounded."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.core.presets import TINY_OVERRIDES
+from ruart_tpu.data.collate import Collator, _parse_buckets, _pick_bucket
+from ruart_tpu.data.dataset import VQADataset
+from ruart_tpu.models.bert.config import BertConfig
+from ruart_tpu.models.fusion.model import RUArtModel
+from ruart_tpu.models.fusion.spec import ModelSpec
+
+
+def test_parse_buckets():
+    assert _parse_buckets(None, 100) == (100,)
+    assert _parse_buckets(3, 100) == (25, 50, 100)
+    assert _parse_buckets("25,50", 100) == (25, 50, 100)
+    assert _parse_buckets(4, 100, floor=12) == (13, 25, 50, 100)
+    assert _pick_bucket((25, 50, 100), 30) == 50
+    assert _pick_bucket((25, 50, 100), 150) == 100  # clamp to cap
+
+
+def _mini_items(cfg, n_items, n_cands, n_words=2, seed=0):
+    """Hand-built collator inputs with n_cands candidates per item."""
+    rng = np.random.RandomState(seed)
+
+    def cand():
+        w = n_words
+        ids = rng.randint(5, 40, size=w).tolist()
+        pieces = [2] + rng.randint(5, 40, size=w).tolist() + [3]
+        return {
+            "glove": ids, "fasttext": ids,
+            "pos": rng.randint(0, 5, size=w).tolist(),
+            "ent": rng.randint(0, 5, size=w).tolist(),
+            "bert": pieces,
+            "bert_offsets": [(1 + j, 2 + j) for j in range(w)],
+            "position": rng.rand(8).tolist(),
+        }
+
+    def item():
+        qw = 3
+        return {
+            "q": {
+                "glove": rng.randint(5, 40, size=qw).tolist(),
+                "fasttext": rng.randint(5, 40, size=qw).tolist(),
+                "pos": rng.randint(0, 5, size=qw).tolist(),
+                "ent": rng.randint(0, 5, size=qw).tolist(),
+                "bert": [2] + rng.randint(5, 40, size=qw).tolist() + [3],
+                "bert_offsets": [(1 + j, 2 + j) for j in range(qw)],
+            },
+            "ocr": [cand() for _ in range(n_cands)],
+            "od": [cand() for _ in range(2)],
+            "gt": {"values": [0.0] * n_cands, "no_answer": 1.0},
+            "extra_info": {},
+        }
+
+    return [item() for _ in range(n_items)]
+
+
+def test_bucketed_shapes_and_gt_width(shipped_conf_opt):
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["bucket_ocr_num"] = 3         # (es_floor.., 6, 12) from cap 12
+    opt["bucket_ocr_bert_len"] = "6"  # (6, 10)
+    cfg = Config(opt)
+    coll = Collator(cfg)
+    assert coll.ocr_num_buckets[-1] == cfg.max_ocr_num
+    assert coll.ocr_len_buckets == (6, 10)
+
+    short = coll(_mini_items(cfg, 2, n_cands=5))
+    q, ocr, od, gt, extra = short
+    n_bucket = ocr["bert"].shape[1]
+    assert n_bucket < cfg.max_ocr_num
+    assert n_bucket in coll.ocr_num_buckets
+    assert ocr["bert"].shape[2] == 6
+    # score width tracks the bucket (no-answer slot preserved)
+    assert gt.shape[1] == cfg.dims.num_scores - cfg.max_ocr_num + n_bucket
+    assert (gt[:, -1] == 1.0).all()
+
+    # a long batch still lands on the cap bucket
+    long = coll(_mini_items(cfg, 2, n_cands=cfg.max_ocr_num))
+    assert long[1]["bert"].shape[1] == cfg.max_ocr_num
+
+
+def test_bucketed_scores_match_cap_padded(shipped_conf_opt):
+    """Bucketed batches must preserve the decode (argmax) and stay close in
+    probability. Exact equality is impossible BY REFERENCE CONSTRUCTION:
+    `Layers.py:168` layer-norms over the whole padded tensor and the
+    backward LSTM consumes pad rows (`Layers.py:166`), so scores are
+    functions of the pad width — which is why bucketing ships opt-in and
+    parity-gated runs keep the single cap bucket (docs/PARITY.md)."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    items = _mini_items(cfg, 2, n_cands=5)
+
+    dense = Collator(Config(opt))(items)
+    opt_b = dict(opt, bucket_ocr_num=3, bucket_ocr_bert_len="6")
+    bucketed = Collator(Config(opt_b))(items)
+    nb = bucketed[1]["bert"].shape[1]
+    assert nb < cfg.max_ocr_num
+
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    model = RUArtModel(spec)
+    jd = [jax.tree.map(jnp.asarray, t) for t in dense[:3]]
+    jb = [jax.tree.map(jnp.asarray, t) for t in bucketed[:3]]
+    params = model.init(jax.random.PRNGKey(0), *jd)
+    s_dense = np.asarray(model.apply(params, *jd))
+    s_bucket = np.asarray(model.apply(params, *jb))
+
+    # decode-level agreement + bounded drift on the candidate columns;
+    # dropped pad columns carried exactly-zero probability in the dense run
+    assert (s_bucket[:, :nb].argmax(-1) == s_dense[:, :nb].argmax(-1)).all()
+    np.testing.assert_allclose(s_bucket[:, :nb], s_dense[:, :nb], atol=0.12)
+    np.testing.assert_allclose(s_bucket[:, -1], s_dense[:, -1], atol=0.12)
+    np.testing.assert_allclose(s_dense[:, nb:-1], 0.0, atol=1e-8)
+
+
+def test_bucket_ladder_bounds_compile_count(shipped_conf_opt):
+    """Mixed-length batch stream: the number of distinct jit signatures is
+    bounded by the bucket-ladder product, not the number of batches."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["bucket_ocr_num"] = 3
+    cfg = Config(opt)
+    coll = Collator(cfg)
+
+    shapes = set()
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        n = int(rng.randint(4, cfg.max_ocr_num + 1))
+        q, ocr, od, gt, _ = coll(_mini_items(cfg, 2, n_cands=n, seed=i))
+        shapes.add(tuple(ocr["bert"].shape))
+    assert len(shapes) <= len(coll.ocr_num_buckets) * len(coll.ocr_len_buckets)
+    assert len(shapes) >= 2  # the stream actually exercised several buckets

@@ -68,3 +68,47 @@ def test_dedup_cap_fallback(shipped_conf_opt):
     coll._add_dedup(out, B, N, Lb)
     # 96 random rows are all unique > cap 64 -> fallback
     assert "bert_unique" not in out
+
+
+def test_dedup_on_by_default_at_realistic_shapes(shipped_conf_opt):
+    """With no bert_dedup_frac in the conf, a duplicated batch at realistic
+    candidate counts gets the dedup artifacts (default 0.25), and a tiny
+    batch where the 64-row cap cannot win stays dense."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.pop("bert_dedup_frac", None)
+    coll = Collator(Config(opt))
+    assert coll.dedup_frac == 0.25
+
+    rng = np.random.RandomState(0)
+    B, N, Lb = 8, 64, 10  # 512 rows, cap = ceil(0.25*512/64)*64 = 128
+    pool = rng.randint(1, 60, size=(40, Lb)).astype(np.int32)
+    out = {"bert": pool[rng.randint(0, 40, size=(B, N))]}
+    out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_unique" in out
+    assert out["bert_unique"].shape[0] == 128  # fixed cap -> one jit shape
+
+    # tiny batch: cap 64 >= B*N 24 -> no win -> dense
+    small = {"bert": pool[rng.randint(0, 40, size=(2, 12))]}
+    small["bert_mask"] = (small["bert"] != 0).astype(np.int32)
+    coll._add_dedup(small, 2, 12, Lb)
+    assert "bert_unique" not in small
+
+
+def test_dedup_fallback_is_logged(shipped_conf_opt, caplog):
+    import logging
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["bert_dedup_frac"] = 0.01
+    coll = Collator(Config(opt))
+    rng = np.random.RandomState(0)
+    B, N, Lb = 8, 12, 10
+    out = {"bert": rng.randint(1, 60, size=(B, N, Lb)).astype(np.int32)}
+    out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+    with caplog.at_level(logging.WARNING, logger="ruart_tpu.data.collate"):
+        coll._add_dedup(out, B, N, Lb)
+    assert "bert_unique" not in out
+    assert coll.dedup_fallbacks == 1
+    assert any("dedup fallback" in r.message for r in caplog.records)

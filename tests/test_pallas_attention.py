@@ -55,3 +55,31 @@ def test_grouped_attention_matches_xla():
     ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, D))
     out = grouped_attention(q, k, v, bias_rows, heads=H, group=16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_packed_kernel_matches_unpacked_and_xla():
+    """128-lane head-bundled kernel (2x-FLOP masked dots) vs full-width
+    kernel vs XLA, including a dh=128 config where pack degenerates to 1."""
+    from ruart_tpu.ops.attention import grouped_attention
+
+    for B, L, H, dh, seed in ((21, 30, 12, 64, 3), (9, 16, 4, 128, 4)):
+        D = H * dh
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        q = jax.random.normal(ks[0], (B, L, D))
+        k = jax.random.normal(ks[1], (B, L, D))
+        v = jax.random.normal(ks[2], (B, L, D))
+        mask = (jax.random.uniform(ks[3], (B, L)) > 0.3).astype(jnp.float32)
+        mask = mask.at[:, 0].set(1.0)
+        bias_rows = (1.0 - mask) * -10000.0
+
+        def split(x):
+            return x.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+        ref = xla_attention(
+            split(q), split(k), split(v), bias_rows[:, None, None, :]
+        )
+        ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, D))
+        packed = grouped_attention(
+            q, k, v, bias_rows, heads=H, group=8, interpret=True, packed=True
+        )
+        np.testing.assert_allclose(np.asarray(packed), ref, atol=3e-5)
