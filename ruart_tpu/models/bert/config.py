@@ -25,7 +25,7 @@ class BertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     # TPU execution knobs (not part of the json schema)
-    attention_impl: str = "xla"  # 'xla' | 'pallas'
+    attention_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     dtype: str = "float32"       # compute dtype: 'float32' | 'bfloat16'
 
     @classmethod

@@ -12,12 +12,15 @@ no streaming-softmax tiling over L is needed (512 x 64 x 3 x 4B ≈ 400 KB of
 VMEM). Numerics match the XLA path: fp32 accumulation, bias added before a
 max-subtracted softmax.
 
-Measured guidance (v5e-1, flagship shapes): at L≈30 the per-program tiles
-are far below the MXU's 128x128 and XLA's horizontally-batched GEMM path is
-~1.5x faster end-to-end, so ``attention_impl='xla'`` stays the default; the
-fused kernel pays off for the long-sequence (chunked 512) regime. A grouped
-grid (several (batch, head) pairs per program) is the planned upgrade for
-the short-L regime.
+Measured guidance (v5e-1, flagship shapes, [1600, 30, 768]): the packed
+grouped kernel at group=16 runs **2.66x faster than the XLA einsum path in
+bf16** (3.21 ms vs 8.52 ms) and 1.70x in fp32 (4.72 ms vs 8.03 ms), so it
+is the default on TPU (``attention_impl='auto'``). group>=32 in fp32
+overflows the 16 MB scoped-VMEM budget ([G,L,D] x 4 inputs x double
+buffering); group=16 is the measured sweet spot for both dtypes.
+``fused_attention`` adds a custom VJP (backward recomputes through the XLA
+formulation) so the kernel is safe under differentiation when BERT is not
+locked.
 """
 
 from __future__ import annotations
@@ -97,7 +100,12 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
     head that's a [L,128]x[128,L] QK dot and a [L,L]x[L,128] PV dot —
     2x the ideal attention FLOPs at dh=64 instead of the full-width
     kernel's 12x, with the same all-VMEM data flow (no [L,L] HBM traffic,
-    no head transposes). Still only 2-D dots + elementwise ops."""
+    no head transposes). Still only 2-D dots + elementwise ops.
+
+    For sub-32-bit dtypes Mosaic can't prove the per-row ``pl.ds(g, 1)``
+    dim-0 slice is sublane-aligned ("index in dimension 0 is a multiple
+    of 8"), so narrow inputs statically unroll the group loop over a
+    whole-block f32 read instead (value slicing with static indices)."""
     G, L, D = q_ref.shape
     dh = D // heads
     pack = max(1, 128 // dh)        # heads per 128-lane bundle
@@ -106,12 +114,23 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
     assert heads % pack == 0 and D == bundle * n_bundles
     # lane-id within a bundle -> head slot [1, bundle]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, bundle), 1) // dh
+    static_rows = q_ref.dtype.itemsize < 4
+    if static_rows:
+        q_all = q_ref[...].astype(jnp.float32)    # [G, L, D]
+        k_all = k_ref[...].astype(jnp.float32)
+        v_all = v_ref[...].astype(jnp.float32)
+        b_all = bias_ref[...].astype(jnp.float32)  # [G, L]
+        out_rows = []
 
     def g_body(g, _):
-        qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)   # [L, D]
-        kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
-        vg = v_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
-        bg = bias_ref[pl.ds(g, 1), :].astype(jnp.float32)      # [1, L]
+        if static_rows:
+            qg, kg, vg = q_all[g], k_all[g], v_all[g]          # [L, D]
+            bg = b_all[g][None]                                # [1, L]
+        else:
+            qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            vg = v_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            bg = bias_ref[pl.ds(g, 1), :].astype(jnp.float32)  # [1, L]
 
         outs = []
         for b in range(n_bundles):                 # static unroll
@@ -131,10 +150,18 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
                 ctx = ctx + pv * m
             outs.append(ctx)
         out = jnp.concatenate(outs, axis=-1)                 # [L, D]
+        if static_rows:
+            out_rows.append(out)
+            return 0
         o_ref[pl.ds(g, 1), :, :] = out[None].astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, group, g_body, 0)
+    if static_rows:
+        for g in range(group):
+            g_body(g, 0)
+        o_ref[...] = jnp.stack(out_rows).astype(o_ref.dtype)
+    else:
+        jax.lax.fori_loop(0, group, g_body, 0)
 
 
 @functools.partial(
@@ -146,7 +173,7 @@ def grouped_attention(
     v: jax.Array,
     bias_rows: jax.Array,
     heads: int,
-    group: int = 32,
+    group: int = 16,
     interpret: bool = False,
     packed: bool = True,
 ) -> jax.Array:
@@ -190,6 +217,67 @@ def grouped_attention(
         ),
     )(q, k, v, bias_rows)
     return out[:B] if pad else out
+
+
+def attention_rows_xla(
+    q: jax.Array, k: jax.Array, v: jax.Array, bias_rows: jax.Array, heads: int
+) -> jax.Array:
+    """Model-layout XLA attention: q/k/v [B, L, H*dh], bias_rows [B, L].
+    The einsum formulation the BERT module uses (`modeling.py:233-246`
+    semantics), kept here as the differentiation/CPU reference for
+    :func:`fused_attention`."""
+    B, L, D = q.shape
+    dh = D // heads
+    qh = q.reshape(B, L, heads, dh)
+    kh = k.reshape(B, L, heads, dh)
+    vh = v.reshape(B, L, heads, dh)
+    s = jnp.einsum(
+        "blhd,bmhd->bhlm", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
+    s = s + bias_rows[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum(
+        "bhlm,bmhd->blhd", p, vh, preferred_element_type=jnp.float32
+    )
+    return ctx.reshape(B, L, D).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias_rows: jax.Array,
+    heads: int,
+    group: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable entry point for :func:`grouped_attention`: forward
+    runs the Pallas kernel; backward recomputes through
+    :func:`attention_rows_xla` (Mosaic kernels have no autodiff rule).
+    The recompute costs one XLA attention in the bwd pass only — free when
+    BERT is locked (the usual conf), and still a net win unlocked since
+    the fwd pass dominates at these shapes."""
+    return grouped_attention(
+        q, k, v, bias_rows, heads=heads, group=group, interpret=interpret
+    )
+
+
+def _fused_attention_fwd(q, k, v, bias_rows, heads, group, interpret):
+    out = fused_attention(q, k, v, bias_rows, heads, group, interpret)
+    return out, (q, k, v, bias_rows)
+
+
+def _fused_attention_bwd(heads, group, interpret, res, g):
+    q, k, v, bias_rows = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: attention_rows_xla(q_, k_, v_, b_, heads),
+        q, k, v, bias_rows,
+    )
+    return vjp(g.astype(q.dtype))
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -83,3 +83,49 @@ def test_packed_kernel_matches_unpacked_and_xla():
             q, k, v, bias_rows, heads=H, group=8, interpret=True, packed=True
         )
         np.testing.assert_allclose(np.asarray(packed), ref, atol=3e-5)
+
+
+def test_fused_attention_custom_vjp_matches_xla_grads():
+    """fused_attention (the model's default TPU path) must be differentiable:
+    forward = the Pallas kernel, backward = recompute through the XLA
+    formulation. Gradients must match differentiating the XLA path."""
+    from ruart_tpu.ops.attention import attention_rows_xla, fused_attention
+
+    B, L, H, dh = 6, 14, 4, 64
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (B, L, D))
+    k = jax.random.normal(ks[1], (B, L, D))
+    v = jax.random.normal(ks[2], (B, L, D))
+    mask = (jax.random.uniform(ks[3], (B, L)) > 0.3).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    bias_rows = (1.0 - mask) * -10000.0
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            fused_attention(q, k, v, bias_rows, H, 4, True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_rows_xla(q, k, v, bias_rows, H) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-4)
+
+
+def test_attention_auto_resolves_to_xla_off_tpu():
+    """attention_impl='auto' (the default) must take the einsum path when
+    the backend is not TPU — the Pallas kernel only compiles via Mosaic."""
+    from ruart_tpu.models.bert.config import BertConfig
+    from ruart_tpu.models.bert.model import BertModel
+
+    assert jax.default_backend() != "tpu"  # suite runs on the CPU platform
+    cfg = BertConfig.tiny(vocab_size=64)
+    assert cfg.attention_impl == "auto"
+    model = BertModel(cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
+    layers, pooled = model.apply(params, ids, jnp.ones_like(ids))
+    assert np.isfinite(np.asarray(pooled)).all()
