@@ -27,6 +27,7 @@ class BertConfig:
     # TPU execution knobs (not part of the json schema)
     attention_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     dtype: str = "float32"       # compute dtype: 'float32' | 'bfloat16'
+    quant: str = "none"          # 'none' | 'int8' (weight-only, ops/quant.py)
 
     @classmethod
     def base_uncased(cls, **kw) -> "BertConfig":

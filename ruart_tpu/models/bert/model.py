@@ -38,6 +38,18 @@ def _dtype(config: BertConfig):
     return jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
 
 
+def _dense(config: BertConfig, features: int, name: str):
+    """Dense factory for the encoder's projection/FFN layers: plain
+    ``nn.Dense`` normally, weight-only-int8 :class:`QuantDense` when
+    ``config.quant == 'int8'`` (params converted offline by
+    ``ops.quant.quantize_bert_params``)."""
+    if config.quant == "int8":
+        from ruart_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, name=name, dtype=_dtype(config))
+    return nn.Dense(features, name=name, dtype=_dtype(config))
+
+
 class BertEmbeddings(nn.Module):
     config: BertConfig
 
@@ -109,7 +121,7 @@ class BertSelfAttention(nn.Module):
         # parallel GEMMs sharing an operand (a hand-fused concat variant
         # measured ~3% SLOWER on v5e)
         def proj(name):
-            return nn.Dense(D, name=name, dtype=dt)
+            return _dense(c, D, name)
 
         qp, kp, vp = proj("query")(hidden), proj("key")(hidden), proj("value")(hidden)
 
@@ -168,9 +180,7 @@ class BertLayer(nn.Module):
         attn_out = BertSelfAttention(c, name="attention_self")(
             hidden, bias, deterministic
         )
-        attn_out = nn.Dense(c.hidden_size, name="attention_output_dense", dtype=dt)(
-            attn_out
-        )
+        attn_out = _dense(c, c.hidden_size, "attention_output_dense")(attn_out)
         attn_out = nn.Dropout(c.hidden_dropout_prob)(
             attn_out, deterministic=deterministic
         )
@@ -178,11 +188,9 @@ class BertLayer(nn.Module):
             epsilon=c.layer_norm_eps, name="attention_output_LayerNorm", dtype=dt
         )(attn_out + hidden)
 
-        inter = nn.Dense(c.intermediate_size, name="intermediate_dense", dtype=dt)(
-            hidden
-        )
+        inter = _dense(c, c.intermediate_size, "intermediate_dense")(hidden)
         inter = jax.nn.gelu(inter, approximate=False)
-        out = nn.Dense(c.hidden_size, name="output_dense", dtype=dt)(inter)
+        out = _dense(c, c.hidden_size, "output_dense")(inter)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         hidden = nn.LayerNorm(
             epsilon=c.layer_norm_eps, name="output_LayerNorm", dtype=dt

@@ -90,6 +90,13 @@ class ModelSpec:
             import dataclasses as _dc
 
             bert_config = _dc.replace(bert_config, dtype="bfloat16")
+        # INT8_BERT conf flag: weight-only int8 encoder (frozen-BERT serving
+        # mode, no reference equivalent — ops/quant.py). Params must go
+        # through quantize_bert_params after load.
+        if use_bert and "INT8_BERT" in opt and bert_config.quant != "int8":
+            import dataclasses as _dc
+
+            bert_config = _dc.replace(bert_config, quant="int8")
         return cls(
             q_embedding=tuple(cfg.q_embedding),
             ocr_embedding=tuple(cfg.ocr_embedding),

@@ -154,6 +154,23 @@ class Trainer:
             )
 
         self.spec = ModelSpec.from_config(cfg, self.bert_config)
+        # INT8_BERT is an inference-time transform: the stateful model
+        # (init / checkpoints / training) stays fp32, and predict_for_test
+        # quantizes the loaded tree + swaps in a quantized eval program
+        # (ops/quant.py). Keeping quant out of the stateful spec means
+        # checkpoints and converters never see int8 params.
+        self._int8_eval = bool(
+            self.spec.use_bert
+            and self.spec.bert is not None
+            and self.spec.bert.quant == "int8"
+        )
+        if self._int8_eval:
+            import dataclasses
+
+            self.spec = dataclasses.replace(
+                self.spec,
+                bert=dataclasses.replace(self.spec.bert, quant="none"),
+            )
         self.model = RUArtModel(self.spec)
         self.collator = Collator(cfg)
 
@@ -413,8 +430,30 @@ class Trainer:
                 # submission (reference crashes in torch.load, `:243-244`)
                 raise FileNotFoundError(f"RESUME checkpoint not found: {model_path}")
             self.load_model(model_path)
+        if self._int8_eval:
+            self._apply_int8_eval()
         test_data = self._dataset(test_raw, "test")
         return self.run_eval(test_data, 0, mode="test")
+
+    def _apply_int8_eval(self):
+        """Swap the eval program + params to the weight-only-int8 encoder
+        (INT8_BERT conf flag). Runs after checkpoint load so the quantized
+        tree reflects the loaded fp32 weights."""
+        import dataclasses
+
+        from ruart_tpu.ops.quant import quantize_bert_params
+
+        qspec = dataclasses.replace(
+            self.spec, bert=dataclasses.replace(self.spec.bert, quant="int8")
+        )
+        self.eval_step = make_eval_step(RUArtModel(qspec), self.loss_fn)
+        self.state = TrainState(
+            params=quantize_bert_params(self.state.params),
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+            rng=self.state.rng,
+        )
+        log.info("INT8_BERT: encoder Dense layers quantized for inference")
 
 
 def _json_safe(v) -> bool:
