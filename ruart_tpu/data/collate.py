@@ -81,6 +81,10 @@ class Collator:
         # on realistic synthetic data (OCR ~6-10% unique, OD ~0.5-2%;
         # PROGRESS_NOTES.md round 2). Set bert_dedup_frac 0 to disable.
         self.dedup_frac = float(cfg.opt.get("bert_dedup_frac", 0.25))
+        # unique-table cap buckets (power-of-2 ladder below the cap):
+        # 1 = single fixed cap shape; default 2 halves the encoded rows on
+        # high-duplication batches at the cost of one extra jit program
+        self.dedup_buckets = int(cfg.opt.get("bert_dedup_buckets", 2))
         self.dedup_fallbacks = 0
         # length-bucketed compilation (SURVEY §3.5 #5): per-batch shapes pad
         # to the smallest bucket that fits instead of always the conf cap,
@@ -149,9 +153,24 @@ class Collator:
                 self._add_dedup(out, B, max_num, max_bert_len)
         return out
 
+    def _dedup_ladder(self, cap: int) -> Tuple[int, ...]:
+        """Unique-table sizes to pad to, ascending, largest = cap. With
+        `bert_dedup_buckets` > 1 (default 2) the table pads to the smallest
+        64-aligned power-of-2 step that fits instead of always the cap —
+        the batch profile showed ~half the encoded unique rows were pad at
+        realistic duplication, and BERT-on-uniques is ~76% of the batch.
+        Program count stays bounded by the ladder length."""
+        steps, size = [], cap
+        for _ in range(max(1, self.dedup_buckets)):
+            steps.append(size)
+            if size <= 64:
+                break
+            size = max(64, ((size // 2 + 63) // 64) * 64)
+        return tuple(sorted(set(steps)))
+
     def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
-        """Attach bert_unique [cap, Lb] + bert_inverse [B, N] when the
-        batch's unique piece-id rows fit the configured cap."""
+        """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] when
+        the batch's unique piece-id rows fit the configured cap."""
         flat = out["bert"].reshape(B * max_num, max_bert_len)
         unique, inverse = np.unique(flat, axis=0, return_inverse=True)
         cap = int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64
@@ -174,7 +193,8 @@ class Collator:
                 self.dedup_frac, B * max_num,
             )
             return
-        pad = np.zeros((cap - unique.shape[0], max_bert_len), dtype=np.int32)
+        size = _pick_bucket(self._dedup_ladder(cap), unique.shape[0])
+        pad = np.zeros((size - unique.shape[0], max_bert_len), dtype=np.int32)
         out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
         out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
 

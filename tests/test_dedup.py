@@ -87,7 +87,9 @@ def test_dedup_on_by_default_at_realistic_shapes(shipped_conf_opt):
     out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
     coll._add_dedup(out, B, N, Lb)
     assert "bert_unique" in out
-    assert out["bert_unique"].shape[0] == 128  # fixed cap -> one jit shape
+    # <= 40 unique rows land in the small cap bucket (default ladder is
+    # (cap/2, cap) = (64, 128); bucket count bounds the jit program count)
+    assert out["bert_unique"].shape[0] == 64
 
     # tiny batch: cap 64 >= B*N 24 -> no win -> dense
     small = {"bert": pool[rng.randint(0, 40, size=(2, 12))]}
@@ -112,3 +114,34 @@ def test_dedup_fallback_is_logged(shipped_conf_opt, caplog):
     assert "bert_unique" not in out
     assert coll.dedup_fallbacks == 1
     assert any("dedup fallback" in r.message for r in caplog.records)
+
+
+def test_dedup_cap_ladder(shipped_conf_opt):
+    """The unique table pads to the smallest fitting 64-aligned bucket from
+    a fixed power-of-2 ladder under the cap; `bert_dedup_buckets 1`
+    restores the single fixed cap shape."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    coll = Collator(Config(opt))
+    assert coll._dedup_ladder(1600) == (832, 1600)
+    assert coll._dedup_ladder(64) == (64,)
+
+    opt3 = dict(opt, bert_dedup_buckets=3)
+    assert Collator(Config(opt3))._dedup_ladder(1600) == (448, 832, 1600)
+    opt1 = dict(opt, bert_dedup_buckets=1)
+    assert Collator(Config(opt1))._dedup_ladder(1600) == (1600,)
+
+    # high-duplication batch -> small bucket; low-duplication -> big bucket
+    rng = np.random.RandomState(0)
+    B, N, Lb = 8, 64, 10  # cap 128, ladder (64, 128)
+    pool_small = rng.randint(1, 60, size=(40, Lb)).astype(np.int32)
+    pool_big = rng.randint(1, 60, size=(100, Lb)).astype(np.int32)
+    for pool, expect in ((pool_small, 64), (pool_big, 128)):
+        out = {"bert": pool[rng.randint(0, len(pool), size=(B, N))]}
+        out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+        coll._add_dedup(out, B, N, Lb)
+        if "bert_unique" in out:
+            assert out["bert_unique"].shape[0] == expect
+    # dedup semantics unchanged: every row reconstructs exactly
+    rec = out["bert_unique"][out["bert_inverse"]]
+    np.testing.assert_array_equal(rec, out["bert"])
