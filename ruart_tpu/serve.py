@@ -121,6 +121,75 @@ class InferenceEngine:
                 }
         return results
 
+    # -- production knobs -------------------------------------------------
+    def quantize(self) -> "InferenceEngine":
+        """Switch to the weight-only-int8 encoder (the INT8_BERT serving
+        mode): quantizes the current params and swaps the eval program.
+        Returns self for chaining."""
+        import dataclasses
+
+        from ruart_tpu.ops.quant import quantize_bert_params
+
+        if self.spec.bert is None or self.spec.bert.quant == "int8":
+            return self
+        self.spec = dataclasses.replace(
+            self.spec, bert=dataclasses.replace(self.spec.bert, quant="int8")
+        )
+        self.model = RUArtModel(self.spec)
+        self.eval_step = make_eval_step(self.model)
+        self.params = quantize_bert_params(self.params)
+        return self
+
+    def warmup(self) -> int:
+        """Precompile every batch signature the collator can emit — the
+        (OCR num/len bucket) x (dedup cap bucket, incl. the dense
+        fallback) product — so no live request ever pays a compile.
+        Returns the number of programs compiled."""
+        from ruart_tpu.data.synthetic import make_synthetic_batch
+
+        coll, cfg = self.collator, self.cfg
+        count = 0
+        for n_bucket in coll.ocr_num_buckets:
+            for l_bucket in coll.ocr_len_buckets:
+                q, ocr, od, _ = make_synthetic_batch(
+                    self.spec, cfg, self.batch_size, seed=0,
+                    ocr_num=n_bucket, ocr_bert_len=l_bucket,
+                )
+                B = self.batch_size
+                cap_o = max(64, int(np.ceil(coll.dedup_frac * B * n_bucket / 64.0)) * 64)
+                cap_d = max(64, int(np.ceil(coll.dedup_frac * B * ocr["bert"].shape[1] / 64.0)) * 64)
+                ladders = [(None, None)]  # dense fallback program
+                if coll.dedup_frac > 0 and cap_o < B * n_bucket:
+                    od_sizes = (
+                        coll._dedup_ladder(cap_d)
+                        if cap_d < B * od["bert"].shape[1]
+                        else (None,)
+                    )
+                    ladders += [
+                        (so, sd)
+                        for so in coll._dedup_ladder(cap_o)
+                        for sd in od_sizes
+                    ]
+                for size_ocr, size_od in ladders:
+                    ocr_v, od_v = dict(ocr), dict(od)
+                    for block, size in ((ocr_v, size_ocr), (od_v, size_od)):
+                        if size is None:
+                            block.pop("bert_unique", None)
+                            block.pop("bert_inverse", None)
+                            continue
+                        Bb, N, Lb = block["bert"].shape
+                        uniq = block["bert"].reshape(Bb * N, Lb)[:size]
+                        if uniq.shape[0] < size:
+                            uniq = np.concatenate([
+                                uniq,
+                                np.zeros((size - uniq.shape[0], Lb), np.int32),
+                            ])
+                        block["bert_unique"] = uniq.astype(np.int32)
+                        block["bert_inverse"] = np.zeros((Bb, N), np.int32)
+                    self.eval_step(self.params, q, ocr_v, od_v, None)
+                    count += 1
+        return count
+
     # -- constructors ----------------------------------------------------
     @classmethod
     def from_trainer(cls, trainer) -> "InferenceEngine":

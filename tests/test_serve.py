@@ -74,3 +74,64 @@ def test_inference_engine(shipped_conf_opt):
     # same request -> same answer (deterministic)
     again = engine.predict(_requests(3))
     assert [r["answer"] for r in again] == [r["answer"] for r in results]
+
+
+def _tiny_engine(shipped_conf_opt, extra=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ruart_tpu.data.synthetic import make_synthetic_batch
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(
+        {
+            "batch_size": 2,
+            "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+            "preprocess_od_name": "OD_bottom-up",
+            "datadir": ".",
+            "FEATURE_FOLDER": ".",
+        }
+    )
+    if extra:
+        opt.update(extra)
+    cfg = Config(opt)
+    tok = WordPieceTokenizer(build_demo_vocab())
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=len(tok.vocab)))
+    vocab = ["<PAD>", "<UNK>", "<Q>", "<OCR>", "<OD>", "stop", "exit", "sign"]
+    while len(vocab) < spec.vocab_size:
+        vocab.append(f"w{len(vocab)}")
+    model = RUArtModel(spec)
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        *(jax.tree.map(jnp.asarray, t) for t in (q, ocr, od)),
+    )
+    return InferenceEngine(cfg, spec, params, vocab, tok)
+
+
+def test_engine_quantize(shipped_conf_opt):
+    engine = _tiny_engine(shipped_conf_opt)
+    base = engine.predict(_requests(2))
+    engine.quantize()
+    assert engine.spec.bert.quant == "int8"
+    quant = engine.predict(_requests(2))
+    assert len(quant) == 2
+    for r in quant:
+        assert isinstance(r["answer"], str) and r["answer"]
+        assert np.isfinite(r["score"])
+    # idempotent
+    engine.quantize()
+
+
+def test_engine_warmup_precompiles_all_signatures(shipped_conf_opt):
+    """warmup() must run one eval per (length bucket x dedup bucket incl.
+    dense) signature without error; subsequent predicts hit those shapes."""
+    engine = _tiny_engine(shipped_conf_opt, extra={"bucket_ocr_num": 2})
+    n = engine.warmup()
+    ladders = len(engine.collator.ocr_num_buckets) * len(
+        engine.collator.ocr_len_buckets
+    )
+    assert n >= ladders  # at least the dense program per shape combo
+    res = engine.predict(_requests(2))
+    assert len(res) == 2
