@@ -241,6 +241,33 @@ class Trainer:
                     "Mesh execution: dp=%d tp=%d over %d devices",
                     dp, mesh.shape["tp"], n_dev,
                 )
+                if (
+                    mesh.shape["tp"] > 1
+                    and self.spec.bert is not None
+                    and self.spec.bert.attention_impl == "auto"
+                ):
+                    # under head-axis tensor parallelism GSPMD cannot
+                    # partition the Pallas custom call — it would replicate
+                    # it behind all-gathers. The einsum path shards
+                    # natively, so force it and rebuild the step programs.
+                    import dataclasses
+
+                    self.spec = dataclasses.replace(
+                        self.spec,
+                        bert=dataclasses.replace(
+                            self.spec.bert, attention_impl="xla"
+                        ),
+                    )
+                    self.model = RUArtModel(self.spec)
+                    self.train_step = make_train_step(
+                        self.model, self.tx, self.loss_fn, row_pinner,
+                        debug_nans="DEBUG_NANS" in self.opt,
+                    )
+                    self.eval_step = make_eval_step(self.model, self.loss_fn)
+                    log.info(
+                        "tp>1: BERT attention_impl forced to 'xla' "
+                        "(GSPMD-shardable einsum path)"
+                    )
             elif "ModelParallel" in self.opt:
                 log.info(
                     "ModelParallel conf key noted; batch %d not divisible by "
