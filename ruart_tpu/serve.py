@@ -157,7 +157,7 @@ class InferenceEngine:
                 )
                 B = self.batch_size
                 cap_o = max(64, int(np.ceil(coll.dedup_frac * B * n_bucket / 64.0)) * 64)
-                cap_d = max(64, int(np.ceil(coll.dedup_frac * B * ocr["bert"].shape[1] / 64.0)) * 64)
+                cap_d = max(64, int(np.ceil(coll.dedup_frac * B * od["bert"].shape[1] / 64.0)) * 64)
                 ladders = [(None, None)]  # dense fallback program
                 if coll.dedup_frac > 0 and cap_o < B * n_bucket:
                     od_sizes = (
