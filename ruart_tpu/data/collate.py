@@ -153,6 +153,23 @@ class Collator:
                 self._add_dedup(out, B, max_num, max_bert_len)
         return out
 
+    def dedup_cap(self, B: int, max_num: int) -> int:
+        """The 64-aligned unique-table cap for a [B, max_num] block."""
+        return max(64, int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64)
+
+    def dedup_sizes(self, B: int, max_num: int) -> Tuple[int, ...]:
+        """Every unique-table size this collator can emit for a
+        [B, max_num] block — the bucket ladder under the cap, or () when
+        dedup can never attach (off, or the cap can't beat the dense
+        shape). Serving warmup precompiles exactly these plus the dense
+        fallback (`serve.InferenceEngine.warmup`)."""
+        if self.dedup_frac <= 0:
+            return ()
+        cap = self.dedup_cap(B, max_num)
+        if cap >= B * max_num and self.dedup_frac < 1.0:
+            return ()
+        return self._dedup_ladder(cap)
+
     def _dedup_ladder(self, cap: int) -> Tuple[int, ...]:
         """Unique-table sizes to pad to, ascending, largest = cap. With
         `bert_dedup_buckets` > 1 (default 2) the table pads to the smallest
@@ -171,15 +188,16 @@ class Collator:
     def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
         """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] when
         the batch's unique piece-id rows fit the configured cap."""
-        flat = out["bert"].reshape(B * max_num, max_bert_len)
-        unique, inverse = np.unique(flat, axis=0, return_inverse=True)
-        cap = int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64
-        cap = max(cap, 64)
+        cap = self.dedup_cap(B, max_num)
         if cap >= B * max_num and self.dedup_frac < 1.0:
             # the 64-row-aligned cap is no smaller than the dense batch at
             # these shapes (tiny test batches): dedup cannot win, stay dense
-            # (frac >= 1 forces the dedup artifacts anyway, for tests)
+            # (frac >= 1 forces the dedup artifacts anyway, for tests) —
+            # checked BEFORE the np.unique row sort, which is the expensive
+            # part of this path
             return
+        flat = out["bert"].reshape(B * max_num, max_bert_len)
+        unique, inverse = np.unique(flat, axis=0, return_inverse=True)
         if unique.shape[0] > cap:
             # fallback: model uses the dense path (separate compiled
             # program; frequent flips between the two waste compile time)

@@ -127,14 +127,17 @@ class BertSelfAttention(nn.Module):
 
         # 'auto' (the default) takes the fused Pallas kernel on TPU — a
         # measured 2.66x (bf16) / 1.70x (fp32) over the einsum path at the
-        # flagship shapes — and the XLA path elsewhere. 'pallas'/'xla'
-        # force. The kernel has no prob-dropout; BERT runs eval-mode-always
-        # like the reference (`Bert.py:49`), so only a non-deterministic
-        # caller with attention dropout configured falls back.
-        use_pallas = c.attention_impl == "pallas" or (
-            c.attention_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and (deterministic or c.attention_probs_dropout_prob == 0.0)
+        # flagship shapes — and the XLA path elsewhere; 'pallas' forces it
+        # regardless of backend. The kernel has no prob-dropout, so BOTH
+        # pallas modes fall back to the einsum path for a non-deterministic
+        # call with attention dropout configured (otherwise forcing
+        # 'pallas' would silently drop the regularization). BERT runs
+        # eval-mode-always like the reference (`Bert.py:49`), so this
+        # fallback never triggers on the shipped path.
+        dropout_ok = deterministic or c.attention_probs_dropout_prob == 0.0
+        use_pallas = dropout_ok and (
+            c.attention_impl == "pallas"
+            or (c.attention_impl == "auto" and jax.default_backend() == "tpu")
         )
         if use_pallas:
             # grouped fused kernel in model layout: no head transposes, no

@@ -110,6 +110,4 @@ def quantize_bert_params(params) -> dict:
     import flax
 
     plain = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
-    return jax.tree_util.tree_map(
-        lambda x: x, _quantize_module(plain)
-    )
+    return _quantize_module(plain)

@@ -142,52 +142,46 @@ class InferenceEngine:
 
     def warmup(self) -> int:
         """Precompile every batch signature the collator can emit — the
-        (OCR num/len bucket) x (dedup cap bucket, incl. the dense
-        fallback) product — so no live request ever pays a compile.
-        Returns the number of programs compiled."""
+        (OCR num/len bucket) x (OCR dedup size or dense) x (OD dedup size
+        or dense) product — so no live request ever pays a compile. The
+        full cross product matters: each block independently falls back
+        to dense when its uniques overflow its cap, so mixed
+        (dense OCR, deduped OD) batches occur live. Returns the number of
+        programs compiled."""
         from ruart_tpu.data.synthetic import make_synthetic_batch
 
         coll, cfg = self.collator, self.cfg
         count = 0
+        B = self.batch_size
         for n_bucket in coll.ocr_num_buckets:
             for l_bucket in coll.ocr_len_buckets:
                 q, ocr, od, _ = make_synthetic_batch(
-                    self.spec, cfg, self.batch_size, seed=0,
+                    self.spec, cfg, B, seed=0,
                     ocr_num=n_bucket, ocr_bert_len=l_bucket,
                 )
-                B = self.batch_size
-                cap_o = max(64, int(np.ceil(coll.dedup_frac * B * n_bucket / 64.0)) * 64)
-                cap_d = max(64, int(np.ceil(coll.dedup_frac * B * od["bert"].shape[1] / 64.0)) * 64)
-                ladders = [(None, None)]  # dense fallback program
-                if coll.dedup_frac > 0 and cap_o < B * n_bucket:
-                    od_sizes = (
-                        coll._dedup_ladder(cap_d)
-                        if cap_d < B * od["bert"].shape[1]
-                        else (None,)
-                    )
-                    ladders += [
-                        (so, sd)
-                        for so in coll._dedup_ladder(cap_o)
-                        for sd in od_sizes
-                    ]
-                for size_ocr, size_od in ladders:
-                    ocr_v, od_v = dict(ocr), dict(od)
-                    for block, size in ((ocr_v, size_ocr), (od_v, size_od)):
-                        if size is None:
-                            block.pop("bert_unique", None)
-                            block.pop("bert_inverse", None)
-                            continue
-                        Bb, N, Lb = block["bert"].shape
-                        uniq = block["bert"].reshape(Bb * N, Lb)[:size]
-                        if uniq.shape[0] < size:
-                            uniq = np.concatenate([
-                                uniq,
-                                np.zeros((size - uniq.shape[0], Lb), np.int32),
-                            ])
-                        block["bert_unique"] = uniq.astype(np.int32)
-                        block["bert_inverse"] = np.zeros((Bb, N), np.int32)
-                    self.eval_step(self.params, q, ocr_v, od_v, None)
-                    count += 1
+                ocr_opts = (None,) + coll.dedup_sizes(B, n_bucket)
+                od_opts = (None,) + coll.dedup_sizes(B, od["bert"].shape[1])
+                for size_ocr in ocr_opts:
+                    for size_od in od_opts:
+                        ocr_v, od_v = dict(ocr), dict(od)
+                        for block, size in ((ocr_v, size_ocr), (od_v, size_od)):
+                            if size is None:
+                                block.pop("bert_unique", None)
+                                block.pop("bert_inverse", None)
+                                continue
+                            Bb, N, Lb = block["bert"].shape
+                            uniq = block["bert"].reshape(Bb * N, Lb)[:size]
+                            if uniq.shape[0] < size:
+                                uniq = np.concatenate([
+                                    uniq,
+                                    np.zeros(
+                                        (size - uniq.shape[0], Lb), np.int32
+                                    ),
+                                ])
+                            block["bert_unique"] = uniq.astype(np.int32)
+                            block["bert_inverse"] = np.zeros((Bb, N), np.int32)
+                        self.eval_step(self.params, q, ocr_v, od_v, None)
+                        count += 1
         return count
 
     # -- constructors ----------------------------------------------------

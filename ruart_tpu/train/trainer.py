@@ -214,17 +214,13 @@ class Trainer:
             tune_partial is not None,
         )
         self.loss_fn = make_loss_fn(str(self.opt.get("loss", "BCE_D1")))
-        row_pinner = make_row_pinner(params, self.spec, tune_partial)
-        self.train_step = make_train_step(
-            self.model, self.tx, self.loss_fn, row_pinner,
-            debug_nans="DEBUG_NANS" in self.opt,
-        )
-        self.eval_step = make_eval_step(self.model, self.loss_fn)
 
         # mesh execution: when several devices are visible and the batch
         # divides the data axis, shard params (BERT tensor-parallel) and run
         # every step SPMD — the TPU-native replacement for the reference's
-        # 2-GPU ModelParallel split (`SDNetTrainer.py:296-301`)
+        # 2-GPU ModelParallel split (`SDNetTrainer.py:296-301`). Decided
+        # BEFORE the step programs are built so the attention impl is
+        # final at the single build site below.
         self.mesh = None
         self._batch_sharding = None
         n_dev = len(jax.devices())
@@ -249,7 +245,7 @@ class Trainer:
                     # under head-axis tensor parallelism GSPMD cannot
                     # partition the Pallas custom call — it would replicate
                     # it behind all-gathers. The einsum path shards
-                    # natively, so force it and rebuild the step programs.
+                    # natively, so force it.
                     import dataclasses
 
                     self.spec = dataclasses.replace(
@@ -259,11 +255,6 @@ class Trainer:
                         ),
                     )
                     self.model = RUArtModel(self.spec)
-                    self.train_step = make_train_step(
-                        self.model, self.tx, self.loss_fn, row_pinner,
-                        debug_nans="DEBUG_NANS" in self.opt,
-                    )
-                    self.eval_step = make_eval_step(self.model, self.loss_fn)
                     log.info(
                         "tp>1: BERT attention_impl forced to 'xla' "
                         "(GSPMD-shardable einsum path)"
@@ -274,6 +265,12 @@ class Trainer:
                     "dp=%d, staying single-device", cfg.batch_size, dp,
                 )
 
+        row_pinner = make_row_pinner(params, self.spec, tune_partial)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_fn, row_pinner,
+            debug_nans="DEBUG_NANS" in self.opt,
+        )
+        self.eval_step = make_eval_step(self.model, self.loss_fn)
         self.state = init_train_state(params, self.tx, cfg.seed)
         self.updates = 0
 
