@@ -121,22 +121,41 @@ def opt_state_leaves(opt_state) -> list:
     return jax.tree_util.tree_leaves(opt_state)
 
 
-def restore_opt_state(template_opt_state, leaves: Optional[list]):
-    """Rebuild optimizer state from stored leaves; on any structural
-    mismatch fall back to the fresh template (resume still works, momentum
-    restarts)."""
+def restore_opt_state(template_opt_state, leaves: Optional[list], strict: bool = True):
+    """Rebuild optimizer state from stored leaves.
+
+    ``leaves is None`` (a ``save_for_predict`` checkpoint: params only, no
+    optimizer state was ever stored) returns the fresh template — that is a
+    legitimate inference checkpoint, not corruption. A *structural* mismatch
+    between stored leaves and the template (leaf count / shape) means the
+    checkpoint was produced by a different optimizer configuration; the
+    reference loads the stored state faithfully or crashes
+    (`SDNetTrainer.py:456-464`), so the default here is to raise. Pass
+    ``strict=False`` (the ``LENIENT_OPT_RESUME`` conf flag) to instead warn
+    and reinitialize — resume proceeds but Adamax momentum restarts."""
     if leaves is None:
         return template_opt_state
     template_leaves, treedef = jax.tree_util.tree_flatten(template_opt_state)
-    if len(template_leaves) != len(leaves):
-        log.warning("optimizer state mismatch; reinitializing")
+
+    def mismatch(why: str):
+        if strict:
+            raise ValueError(
+                f"optimizer state in checkpoint does not match the current "
+                f"optimizer ({why}); refusing to silently restart momentum. "
+                f"Set LENIENT_OPT_RESUME to reinitialize instead."
+            )
+        log.warning("optimizer state mismatch (%s); reinitializing", why)
         return template_opt_state
+
+    if len(template_leaves) != len(leaves):
+        return mismatch(
+            f"{len(leaves)} stored leaves vs {len(template_leaves)} expected"
+        )
     try:
         cast = [
             np.asarray(l).astype(np.asarray(t).dtype).reshape(np.shape(t))
             for l, t in zip(leaves, template_leaves)
         ]
-    except Exception:
-        log.warning("optimizer state mismatch; reinitializing")
-        return template_opt_state
+    except Exception as e:
+        return mismatch(f"leaf shape/dtype: {e}")
     return jax.tree_util.tree_unflatten(treedef, cast)

@@ -297,7 +297,10 @@ class Trainer:
 
     def load_model(self, path: str):
         params, opt_leaves, meta = ckpt.load_checkpoint(path, self.state.params)
-        opt_state = ckpt.restore_opt_state(self.state.opt_state, opt_leaves)
+        opt_state = ckpt.restore_opt_state(
+            self.state.opt_state, opt_leaves,
+            strict="LENIENT_OPT_RESUME" not in self.opt,
+        )
         self.state = TrainState(
             params=jax.tree.map(jax.numpy.asarray, params),
             opt_state=opt_state,
@@ -418,17 +421,42 @@ class Trainer:
         start = time.time()
         batch_i = batch_st - 1
         put = self._device_put if self.mesh is not None else None
+        # per-step device losses accumulate here and are fetched only at
+        # log_every cadence: an unconditional per-step float(loss) is a
+        # device->host sync that serializes dispatch against the donated
+        # fused step (the reference's .item() habit, `SDNetTrainer.py:362`,
+        # is exactly what a TPU loop must not copy). The finite-loss crash
+        # therefore fires up to log_every-1 batches late — on a stale loss,
+        # which is the right trade (the reference asserts immediately,
+        # `SDNetTrainer.py:352-359`).
+        pending: list = []
+
+        def drain_losses(at_batch: int):
+            if not pending:
+                return None
+            vals = np.asarray(jax.device_get(pending), dtype=np.float64)
+            pending.clear()
+            if not np.isfinite(vals).all():
+                first = at_batch - len(vals) + 1 + int(
+                    np.argmax(~np.isfinite(vals))
+                )
+                raise FloatingPointError(
+                    f"loss is not finite at batch {first}"
+                )
+            for v in vals:
+                self.train_loss.update(float(v), 1)
+            return float(vals[-1])
+
         for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=put):
             batch_i += 1
             if batch_i % eval_every == 0:
+                drain_losses(batch_i - 1)
                 self.run_eval(val_data, batch_i)
             self.state, loss = self.train_step(self.state, q, ocr, od, gt)
             self.updates += 1
-            loss_val = float(loss)
-            if not np.isfinite(loss_val):
-                raise FloatingPointError(f"loss is not finite at batch {batch_i}")
-            self.train_loss.update(loss_val, 1)
+            pending.append(loss)
             if batch_i % log_every == 0:
+                loss_val = drain_losses(batch_i)
                 done = batch_i - batch_st + 1
                 rate = (time.time() - start) / max(done, 1)
                 remaining = rate * (len(sampler) - batch_st - done)
@@ -436,6 +464,7 @@ class Trainer:
                     "updates[%6d] train loss[%8.5f / %8.5f] remaining[%ds]",
                     self.updates, self.train_loss.avg, loss_val, int(remaining),
                 )
+        drain_losses(batch_i)
         self.run_eval(val_data, batch_i)
         self.run_eval(train_data, batch_i, mode="train")
         log.info("Training over")

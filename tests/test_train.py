@@ -112,6 +112,37 @@ def test_checkpoint_roundtrip_and_intersection(tmp_path):
     assert len(opt_leaves) == 1
 
 
+def test_restore_opt_state_strict_and_lenient():
+    import optax
+
+    params = {"w": np.ones((3,), np.float32)}
+    tx = optax.adamax(1e-3)
+    template = tx.init(params)
+    good = [np.asarray(l) for l in ckpt.opt_state_leaves(template)]
+
+    # faithful restore round-trips
+    restored = ckpt.restore_opt_state(template, good)
+    for a, b in zip(ckpt.opt_state_leaves(restored), good):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # None = predict checkpoint (no opt state stored) -> fresh template, no error
+    assert ckpt.restore_opt_state(template, None) is template
+
+    # structural mismatch: strict (default) raises, lenient reinitializes
+    bad = good[:-1]
+    with pytest.raises(ValueError, match="LENIENT_OPT_RESUME"):
+        ckpt.restore_opt_state(template, bad)
+    assert ckpt.restore_opt_state(template, bad, strict=False) is template
+
+    bad_shape = list(good)
+    bad_shape[-1] = np.zeros((7, 7), np.float32)
+    with pytest.raises(ValueError):
+        ckpt.restore_opt_state(template, bad_shape)
+    assert (
+        ckpt.restore_opt_state(template, bad_shape, strict=False) is template
+    )
+
+
 def test_save_for_predict_drops_bert(tmp_path):
     params = {
         "params": {
