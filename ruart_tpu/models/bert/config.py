@@ -28,6 +28,11 @@ class BertConfig:
     attention_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     dtype: str = "float32"       # compute dtype: 'float32' | 'bfloat16'
     quant: str = "none"          # 'none' | 'int8' (weight-only, ops/quant.py)
+    # (dp, tp) jax.sharding.Mesh for multi-device execution. When set, the
+    # Pallas attention path partitions explicitly via shard_map (batch over
+    # dp, heads over tp) — GSPMD cannot partition a Pallas custom call and
+    # would otherwise replicate it behind all-gathers. None = single device.
+    mesh: object = None
 
     @classmethod
     def base_uncased(cls, **kw) -> "BertConfig":

@@ -143,10 +143,21 @@ class BertSelfAttention(nn.Module):
             # grouped fused kernel in model layout: no head transposes, no
             # [B, H, L, L] HBM round trip; differentiable via a custom VJP
             # that recomputes through the XLA formulation (ops/attention.py)
-            from ruart_tpu.ops.attention import fused_attention
+            from ruart_tpu.ops.attention import (
+                fused_attention,
+                sharded_fused_attention,
+            )
 
             bias_rows = bias[:, 0, 0, :]
-            ctx = fused_attention(qp, kp, vp, bias_rows, H)
+            if c.mesh is not None and c.mesh.size > 1:
+                # explicit shard_map partitioning (batch over dp, heads over
+                # tp) — without it GSPMD replicates the Pallas custom call
+                # on every device of the mesh
+                ctx = sharded_fused_attention(
+                    qp, kp, vp, bias_rows, H, c.mesh
+                )
+            else:
+                ctx = fused_attention(qp, kp, vp, bias_rows, H)
             return ctx.astype(dt)
 
         # head-major einsum without explicit [B,H,L,D] transposes: XLA folds

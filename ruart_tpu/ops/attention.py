@@ -280,6 +280,79 @@ def _fused_attention_bwd(heads, group, interpret, res, g):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def tp_kernel_ok(heads: int, dh: int, tp: int) -> bool:
+    """True when the packed kernel stays efficient with ``heads/tp`` local
+    heads per shard: the head count must divide over tp AND each shard's
+    bundle must still fill 128 lanes (otherwise the fallback full-width
+    kernel's 12x-FLOP dots would eat the tp win — force the einsum path
+    instead)."""
+    if tp <= 1:
+        return True
+    if heads % tp:
+        return False
+    pack = max(1, 128 // dh) if 128 % dh == 0 else 1
+    return (heads // tp) % pack == 0
+
+
+def sharded_fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias_rows: jax.Array,
+    heads: int,
+    mesh,
+    group: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fused_attention` under a (dp, tp) ``jax.sharding.Mesh``.
+
+    GSPMD cannot partition a Pallas custom call — left alone it would
+    all-gather the operands and replicate the kernel on every device. This
+    wrapper makes the partitioning explicit with ``jax.shard_map``: the
+    batch axis splits over ``dp`` and the feature axis over ``tp``. Feature
+    sharding is head-aligned (Dense output features are head-major, so tp
+    shard t owns heads [t*H/tp, (t+1)*H/tp)), which makes heads
+    embarrassingly parallel: each shard runs the packed kernel on its local
+    head bundle with zero collectives — the math being sharded is the
+    reference's per-head attention (`Models/Bert/modeling.py:233-246`).
+
+    Requires ``heads % tp == 0`` (gate with :func:`tp_kernel_ok`) and the
+    global batch divisible by dp. Composes with jit: inside a jitted
+    program the shard_map consumes the already-(dp, tp)-sharded QKV
+    activations without resharding.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = dict(mesh.shape)
+    dp = axes.get("dp", 1)
+    tp = axes.get("tp", 1)
+    B, L, D = q.shape
+    assert B % dp == 0, f"batch {B} not divisible by dp={dp}"
+    assert heads % tp == 0 and D % tp == 0, (
+        f"heads={heads}/D={D} not divisible by tp={tp}"
+    )
+    local_heads = heads // tp
+    dp_ax = "dp" if dp > 1 else None
+    tp_ax = "tp" if tp > 1 else None
+    spec3 = P(dp_ax, None, tp_ax)
+    spec2 = P(dp_ax, None)
+
+    def local(q_, k_, v_, b_):
+        return fused_attention(
+            q_, k_, v_, b_, local_heads, group, interpret
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec3, spec2),
+        out_specs=spec3,
+        # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes
+        # annotation; the output vma is fully determined by out_specs here
+        check_vma=False,
+    )(q, k, v, bias_rows)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_attention(
     q: jax.Array,

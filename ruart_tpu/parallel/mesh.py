@@ -48,11 +48,23 @@ def make_mesh(
     return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
-def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """Default mesh: tp=2 when the device count allows, else pure dp."""
+def auto_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
+    """Default mesh layout.
+
+    For this model family the default is **pure data parallelism**: the
+    FLOP-heavy stage (BERT-base, ~110M params) fits comfortably in one
+    chip's HBM, the fusion stack is replicated anyway, and dp avoids the
+    per-layer reduce collectives tensor parallelism inserts. Pass ``tp``
+    (the ``tensor_parallel`` conf key) to opt into a (dp, tp) mesh — useful
+    when a larger encoder (BERT_LARGE and up) needs its weights spread, or
+    to shrink per-chip activation memory at huge batch. The Pallas
+    attention kernel stays active under tp via
+    ``ops.attention.sharded_fused_attention`` (head-aligned shard_map)."""
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
-    tp = 2 if n % 2 == 0 and n >= 4 else 1
+    tp = int(tp or 1)
+    if n % tp != 0:
+        raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
     return make_mesh(devices, tp=tp)
 
 

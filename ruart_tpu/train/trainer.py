@@ -50,10 +50,17 @@ class Trainer:
     def __init__(self, cfg: Config, bert_config: Optional[BertConfig] = None):
         self.cfg = cfg
         self.opt = cfg.opt
+        # multi-host: connect to the distributed runtime before any JAX
+        # call sees the device topology (no-op without the
+        # `coordinator_address` conf key — parallel/distributed.py)
+        from ruart_tpu.parallel.distributed import maybe_initialize_distributed
+
+        maybe_initialize_distributed(self.opt)
         self.opt.setdefault("datadir", ".")
         self.opt["FEATURE_FOLDER"] = os.path.join(
             self.opt["datadir"], "./source/data/", str(self.opt.get("source_dir", "")), ""
         ) if "FEATURE_FOLDER" not in self.opt else self.opt["FEATURE_FOLDER"]
+        self._n_proc = 1  # refreshed in setup_model
         self.preproc = Preprocessor(cfg)
         self.bert_config = bert_config
         self.save_folder: Optional[str] = None
@@ -223,11 +230,28 @@ class Trainer:
         # final at the single build site below.
         self.mesh = None
         self._batch_sharding = None
+        self._n_proc = jax.process_count()
         n_dev = len(jax.devices())
         if n_dev > 1 and "no_mesh" not in self.opt:
+            from ruart_tpu.parallel.distributed import make_hybrid_mesh
             from ruart_tpu.parallel.mesh import auto_mesh, batch_pspec, shard_params
 
-            mesh = auto_mesh()
+            tp_req = int(self.opt.get("tensor_parallel", 1))
+            if self._n_proc > 1:
+                # hybrid ICI x DCN mesh: tp inside each host, dp host-major
+                # over DCN. Every host runs this same program and feeds its
+                # process_batch_slice of each batch (`_device_put`); batch
+                # shapes must agree across hosts, so dedup tables and
+                # bucket ladders (both data-dependent) are disabled.
+                mesh = make_hybrid_mesh(tp=tp_req)
+                self.collator = Collator(
+                    Config({
+                        **self.opt, "bert_dedup_frac": 0,
+                        "bucket_ocr_num": 0, "bucket_ocr_bert_len": 0,
+                    })
+                )
+            else:
+                mesh = auto_mesh(tp=tp_req)
             dp = mesh.shape["dp"]
             if cfg.batch_size % dp == 0:
                 self.mesh = mesh
@@ -237,28 +261,33 @@ class Trainer:
                     "Mesh execution: dp=%d tp=%d over %d devices",
                     dp, mesh.shape["tp"], n_dev,
                 )
-                if (
-                    mesh.shape["tp"] > 1
-                    and self.spec.bert is not None
-                    and self.spec.bert.attention_impl == "auto"
-                ):
-                    # under head-axis tensor parallelism GSPMD cannot
-                    # partition the Pallas custom call — it would replicate
-                    # it behind all-gathers. The einsum path shards
-                    # natively, so force it.
+                if self.spec.bert is not None:
                     import dataclasses
 
-                    self.spec = dataclasses.replace(
-                        self.spec,
-                        bert=dataclasses.replace(
-                            self.spec.bert, attention_impl="xla"
-                        ),
-                    )
+                    from ruart_tpu.ops.attention import tp_kernel_ok
+
+                    bert = self.spec.bert
+                    dh = bert.hidden_size // bert.num_attention_heads
+                    if bert.attention_impl == "auto" and not tp_kernel_ok(
+                        bert.num_attention_heads, dh, mesh.shape["tp"]
+                    ):
+                        # this tp degree leaves shards whose head bundles
+                        # can't fill the packed kernel's 128 lanes; the
+                        # einsum path (natively GSPMD-shardable) is faster
+                        # than the degraded kernel there
+                        bert = dataclasses.replace(bert, attention_impl="xla")
+                        log.info(
+                            "tp=%d: BERT attention_impl forced to 'xla' "
+                            "(head bundle does not pack at this tp degree)",
+                            mesh.shape["tp"],
+                        )
+                    else:
+                        # hand the mesh to the attention module so the
+                        # Pallas kernel partitions explicitly via shard_map
+                        # (GSPMD would replicate the custom call)
+                        bert = dataclasses.replace(bert, mesh=mesh)
+                    self.spec = dataclasses.replace(self.spec, bert=bert)
                     self.model = RUArtModel(self.spec)
-                    log.info(
-                        "tp>1: BERT attention_impl forced to 'xla' "
-                        "(GSPMD-shardable einsum path)"
-                    )
             elif "ModelParallel" in self.opt:
                 log.info(
                     "ModelParallel conf key noted; batch %d not divisible by "
@@ -277,23 +306,58 @@ class Trainer:
     def _device_put(self, batch):
         if self._batch_sharding is None:
             return batch
+        if self._n_proc > 1:
+            # every host collated the full global batch (cheap, uniform
+            # program); device arrays are assembled from each host's slice
+            from ruart_tpu.parallel.distributed import (
+                make_global_batch,
+                process_batch_slice,
+            )
+
+            q, ocr, od, gt, extra = batch
+            sl = process_batch_slice(self.cfg.batch_size)
+            cut = lambda t: {k: v[sl] for k, v in t.items()}
+            gq, gocr, god, ggt = make_global_batch(
+                (cut(q), cut(ocr), cut(od), gt[sl] if gt is not None else None),
+                self.mesh,
+            )
+            return gq, gocr, god, ggt, extra
         return device_put_batch(batch, self._batch_sharding)
 
     # -- checkpoint plumbing --------------------------------------------
+    def _host_tree(self, tree):
+        """Fetchable copy of a (possibly multi-host-sharded) tree: under
+        multi-process execution params/opt-state shards live on other
+        hosts' devices and np.asarray would fail; gather them first."""
+        if self._n_proc <= 1:
+            return tree
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(x)
+
+        return jax.tree.map(fetch, tree)
+
     def save(self, filename: str, epoch: int = 0):
+        params = self._host_tree(self.state.params)
+        opt_leaves = self._host_tree(ckpt.opt_state_leaves(self.state.opt_state))
+        if self._n_proc > 1 and jax.process_index() != 0:
+            return  # every host gathers (collective), only rank 0 writes
         meta = {
             "updates": self.updates,
             "train_loss": self.train_loss.state_dict(),
             "epoch": epoch,
             "config": {k: v for k, v in self.opt.items() if _json_safe(v)},
         }
-        ckpt.save_checkpoint(
-            filename, self.state.params, ckpt.opt_state_leaves(self.state.opt_state),
-            meta,
-        )
+        ckpt.save_checkpoint(filename, params, opt_leaves, meta)
 
     def save_for_predict(self, filename: str):
-        ckpt.save_for_predict(filename, self.state.params, {"updates": self.updates})
+        params = self._host_tree(self.state.params)
+        if self._n_proc > 1 and jax.process_index() != 0:
+            return
+        ckpt.save_for_predict(filename, params, {"updates": self.updates})
 
     def load_model(self, path: str):
         params, opt_leaves, meta = ckpt.load_checkpoint(path, self.state.params)
@@ -335,9 +399,13 @@ class Trainer:
             device_put=self._device_put if self.mesh is not None else None,
         )
         if mode == "test":
-            write_submission(
-                result["res"], self.save_folder, result["n"], self.cfg.batch_size
-            )
+            if self._n_proc <= 1 or jax.process_index() == 0:
+                # every host decodes identical results (gathered scores);
+                # one writes
+                write_submission(
+                    result["res"], self.save_folder, result["n"],
+                    self.cfg.batch_size,
+                )
             return result
         if mode == "dev" and self.save_folder:
             import json

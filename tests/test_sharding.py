@@ -25,8 +25,14 @@ def test_make_mesh_shapes():
     assert mesh.shape == {DP_AXIS: 4, TP_AXIS: 2}
     mesh2 = make_mesh(tp=1)
     assert mesh2.shape == {DP_AXIS: 8, TP_AXIS: 1}
+    # dp-only default (BERT-base fits one chip; dp avoids per-layer
+    # collectives) — tp is an explicit opt-in
     auto = auto_mesh()
-    assert auto.shape[TP_AXIS] == 2
+    assert auto.shape[TP_AXIS] == 1 and auto.shape[DP_AXIS] == 8
+    auto_tp = auto_mesh(tp=2)
+    assert auto_tp.shape == {DP_AXIS: 4, TP_AXIS: 2}
+    with pytest.raises(ValueError):
+        auto_mesh(tp=3)
 
 
 def test_param_rules():

@@ -39,17 +39,17 @@ def test_trainer_uses_mesh(tmp_path, shipped_conf_opt):
     assert trainer.mesh.shape["dp"] * trainer.mesh.shape["tp"] == 8
     assert trainer.updates == 2
     assert np.isfinite(trainer.train_loss.avg)
-    # params carry mesh shardings
+    # params live on the mesh (replicated under the dp-only default; the
+    # tp-sharded layout is covered by test_tp_mesh_keeps_kernel_when_heads_pack)
     kernel = trainer.state.params["params"]["Bert"]["layer_0"][
         "attention_self"
     ]["query"]["kernel"]
-    assert "tp" in str(kernel.sharding.spec)
+    assert dict(kernel.sharding.mesh.shape) == {"dp": 8, "tp": 1}
+    # batches shard dim 0 over dp
+    assert "dp" in str(trainer._batch_sharding.spec)
 
 
-def test_tp_mesh_forces_xla_attention(tmp_path, shipped_conf_opt):
-    """With tp>1 in the auto-mesh, 'auto' attention must resolve to the
-    GSPMD-shardable einsum path (the Pallas custom call would be
-    replicated behind all-gathers on the head-sharded QKV)."""
+def _tp2_trainer(tmp_path, shipped_conf_opt, bert_config, extra_opt=None):
     for label, n, seed in (("train", 16, 0), ("val", 8, 1)):
         raw = make_synthetic_raw_dataset(n, seed=seed)
         with open(tmp_path / f"{label}.msgpack", "wb") as f:
@@ -67,14 +67,73 @@ def test_tp_mesh_forces_xla_attention(tmp_path, shipped_conf_opt):
             "preprocess_od_name": "OD_bottom-up",
             "batch_size": 8,
             "epoch": 1,
+            "tensor_parallel": 2,
         }
     )
-    trainer = Trainer(
-        Config(opt), bert_config=BertConfig.tiny(vocab_size=64)
-    )
+    opt.update(extra_opt or {})
+    trainer = Trainer(Config(opt), bert_config=bert_config)
     trainer.preproc.ensure_preprocessed()
     _, _, embeddings = trainer.preproc.load_data()
     trainer.setup_model(embeddings)
-    assert trainer.mesh is not None
-    if trainer.mesh.shape["tp"] > 1:
-        assert trainer.spec.bert.attention_impl == "xla"
+    return trainer
+
+
+def test_tp_mesh_forces_xla_when_heads_do_not_pack(tmp_path, shipped_conf_opt):
+    """tp=2 on the tiny config (4 heads, dh=8) leaves head bundles that
+    can't fill the packed kernel's 128 lanes — 'auto' attention must
+    resolve to the GSPMD-shardable einsum path there."""
+    trainer = _tp2_trainer(
+        tmp_path, shipped_conf_opt, BertConfig.tiny(vocab_size=64)
+    )
+    assert trainer.mesh is not None and trainer.mesh.shape["tp"] == 2
+    assert trainer.spec.bert.attention_impl == "xla"
+    assert trainer.spec.bert.mesh is None
+
+
+def test_tp_mesh_keeps_kernel_when_heads_pack(tmp_path, shipped_conf_opt):
+    """With dh=64 heads (BERT-base head geometry) tp=2 bundles still pack:
+    'auto' stays on the kernel path and the mesh is handed to the module
+    for explicit shard_map partitioning."""
+    bc = BertConfig(
+        vocab_size=64, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+    )
+    trainer = _tp2_trainer(tmp_path, shipped_conf_opt, bc)
+    assert trainer.mesh is not None and trainer.mesh.shape["tp"] == 2
+    assert trainer.spec.bert.attention_impl == "auto"
+    assert trainer.spec.bert.mesh is trainer.mesh
+
+
+def test_tp2_forward_matches_single_device(tmp_path, shipped_conf_opt):
+    """Full-model forward on the (dp=4, tp=2) mesh must numerically match
+    the single-device forward (VERDICT r2 weak #7). CPU backend -> the
+    einsum attention path; the kernel path equivalence is covered in
+    test_pallas_attention.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from ruart_tpu.data.synthetic import make_synthetic_batch
+    from ruart_tpu.models.fusion.model import RUArtModel
+    from ruart_tpu.models.fusion.spec import ModelSpec
+    from ruart_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["batch_size"] = 8
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    model = RUArtModel(spec)
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 8, seed=5)
+    q, ocr, od = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), q, ocr, od)
+
+    fn = jax.jit(
+        lambda p, a, b, c: model.apply(p, a, b, c, deterministic=True)
+    )
+    single = np.asarray(fn(params, q, ocr, od))
+
+    mesh = make_mesh(tp=2)
+    sp = shard_params(params, mesh)
+    sq, socr, sod = shard_batch((q, ocr, od), mesh)
+    sharded = np.asarray(fn(sp, sq, socr, sod))
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=1e-4)
