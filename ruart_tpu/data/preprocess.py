@@ -28,7 +28,6 @@ import hashlib
 import logging
 import os
 from collections import Counter
-from copy import deepcopy
 from typing import Any, Dict, List, Optional, Sequence
 
 import msgpack
@@ -417,10 +416,14 @@ class Preprocessor:
             out["answers"] = [annotate(a, self.nlp) for a in out["orign_answers"]]
             for name in ocr_names:
                 for item in out[name]:
-                    item["word"] = deepcopy(ocr_ann[ocr_dict[item["word"]]])
+                    # per-item dict copy, token lists shared read-only:
+                    # ids_for adds keys into the item's own dict, nothing
+                    # mutates the annotation lists in place (a full
+                    # deepcopy here was ~50% of serving featurization)
+                    item["word"] = dict(ocr_ann[ocr_dict[item["word"]]])
             for name in od_names:
                 for item in out[name]:
-                    item["object"] = deepcopy(od_ann[od_dict[item["object"]]])
+                    item["object"] = dict(od_ann[od_dict[item["object"]]])
         return data
 
     def _build_vocab(self, data: List[dict]) -> List[str]:
@@ -545,13 +548,15 @@ class Preprocessor:
                     pos = None
                     for j in range(i, i + n):
                         pos = (
-                            deepcopy(src[j]["pos"])
+                            list(src[j]["pos"])
                             if pos is None
                             else merge_quads(pos, src[j]["pos"])
                         )
                         for k, v in src[j]["word"].items():
-                            word.setdefault(k, [])
-                            word[k] = word[k] + deepcopy(v)
+                            # concatenation allocates a fresh list; the
+                            # elements (strs/ints/char-id rows) are never
+                            # mutated in place downstream
+                            word[k] = word.get(k, []) + list(v)
                     cands.append(
                         {"word": word, "pos": pos, "original": text}
                     )

@@ -94,18 +94,44 @@ class InferenceEngine:
         return VQADataset(data, self.cfg, mode="test", tokenizer=self.tokenizer)
 
     # -- inference -----------------------------------------------------------
-    def predict(self, samples: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
-        """Returns [{'answer', 'score', 'idx'}] aligned with samples."""
-        ds = self.featurize(samples)
-        results: List[Dict[str, Any]] = [None] * len(ds)
+    def _collated_batches(self, samples: Sequence[Dict[str, Any]]):
+        """Per-device-batch host work: featurize -> dataset items ->
+        collate. Yields (first_sample_idx, n_real, batch)."""
         B = self.batch_size
-        for start in range(0, len(ds), B):
-            idxs = list(range(start, min(start + B, len(ds))))
-            items = [ds[i] for i in idxs]
+        for start in range(0, len(samples), B):
+            chunk = list(samples[start: start + B])
+            ds = self.featurize(chunk)
+            items = [ds[i] for i in range(len(ds))]
             # pad the tail batch by repeating the last item: one compiled shape
             while len(items) < B:
                 items.append(items[-1])
-            q, ocr, od, gt, extra = self.collator(items)
+            yield start, len(chunk), self.collator(items)
+
+    def predict(self, samples: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Returns [{'answer', 'score', 'idx'}] aligned with samples.
+
+        The host pipeline (featurize -> item build -> collate -> H2D) for
+        batch N+1 runs in a prefetch thread while the device executes batch
+        N and this thread decodes batch N-1 — the device never waits on
+        host featurization unless the host is strictly slower end-to-end.
+        """
+        from ruart_tpu.data.pipeline import prefetch
+
+        results: List[Dict[str, Any]] = [None] * len(samples)
+
+        def put(t):
+            start, n_real, (q, ocr, od, gt, extra) = t
+            import jax
+
+            q = {k: jax.device_put(v) for k, v in q.items()}
+            ocr = {k: jax.device_put(v) for k, v in ocr.items()}
+            od = {k: jax.device_put(v) for k, v in od.items()}
+            return start, n_real, (q, ocr, od, gt, extra)
+
+        it = self._collated_batches(samples)
+        for start, n_real, (q, ocr, od, gt, extra) in prefetch(
+            it, size=2, device_put=put
+        ):
             scores, _ = self.eval_step(self.params, q, ocr, od, None)
             res, save_res, _, _ = decode_batch(
                 np.asarray(scores), extra, np.asarray(ocr["num"]),
@@ -113,8 +139,8 @@ class InferenceEngine:
                 yesno=self.spec.label_yesno,
                 label_no_answer=self.spec.label_no_answer,
             )
-            for j, i in enumerate(idxs):
-                results[i] = {
+            for j in range(n_real):
+                results[start + j] = {
                     "answer": save_res[j]["prediction"],
                     "score": save_res[j]["score"],
                     "idx": save_res[j]["idx"],

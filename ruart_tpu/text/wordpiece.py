@@ -176,6 +176,13 @@ class WordPieceTokenizer:
         self.vocab = vocab
         self.inv_vocab = {i: t for t, i in vocab.items()}
         self.basic = BasicTokenizer(do_lower_case)
+        # word -> piece tuple. Scene-text pipelines re-tokenize the same
+        # strings constantly (candidates repeat across samples and epochs;
+        # ~90% of dataset __getitem__ time was tokenization before this);
+        # tokenization is pure so a cache is exact. Bounded to keep a
+        # pathological stream from growing without limit.
+        self._cache: Dict[str, tuple] = {}
+        self._cache_cap = 1 << 20
         self.wordpiece = WordpieceTokenizer(vocab)
 
     @classmethod
@@ -183,10 +190,15 @@ class WordPieceTokenizer:
         return cls(load_vocab(vocab_file), do_lower_case)
 
     def tokenize(self, text: str) -> List[str]:
-        out: List[str] = []
-        for tok in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(tok))
-        return out
+        cached = self._cache.get(text)
+        if cached is None:
+            out: List[str] = []
+            for tok in self.basic.tokenize(text):
+                out.extend(self.wordpiece.tokenize(tok))
+            cached = tuple(out)
+            if len(self._cache) < self._cache_cap:
+                self._cache[text] = cached
+        return list(cached)
 
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
         return [self.vocab[t] for t in tokens]
