@@ -49,10 +49,21 @@ def evaluate(
     res: list = []
     save_res: list = []
     n_batches = 0
+    import jax
+
+    multiprocess = jax.process_count() > 1
     it = batch_iterator(dataset, sampler, collator, num_workers=num_workers)
     for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=device_put):
         scores, loss = eval_step(params, q, ocr, od, gt)
-        probs = np.asarray(scores)
+        if multiprocess:
+            # scores are a dp-sharded global array (rows on other hosts are
+            # not addressable here); gather so every host decodes the full
+            # batch — extra/metadata is already host-global by design
+            from jax.experimental import multihost_utils
+
+            probs = np.asarray(multihost_utils.process_allgather(scores))
+        else:
+            probs = np.asarray(scores)
         _res, _save, _anls, _acc = decode_batch(
             probs, extra, np.asarray(ocr["num"]),
             fixed_answers, yesno, label_no_answer,

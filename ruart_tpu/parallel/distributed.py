@@ -1,0 +1,177 @@
+"""Multi-host (multi-process) execution plumbing.
+
+The reference is strictly single-process (`SURVEY.md §2.3`: no
+torch.distributed anywhere; its only multi-device feature is a 2-GPU
+`.to(device)` split, `Models/SDNetTrainer.py:296-301`). The TPU-native
+obligation is the standard JAX multi-host recipe:
+
+* every host runs the SAME program (`jax.distributed.initialize` connects
+  them to one runtime);
+* one global (dp, tp) mesh spans all hosts' devices — ``tp`` stays inside a
+  host/slice so its per-layer reduce collectives ride ICI, while the
+  data-parallel axis crosses hosts over DCN (gradient psum is
+  latency-tolerant: once per step, overlappable with the backward pass);
+* each host feeds only its addressable shard of every global batch
+  (`process_batch_slice` + `make_global_batch`).
+
+Single-process behavior is unchanged: every entry point degrades to a
+no-op / identity when there is one process, so the same trainer code runs
+unmodified from a laptop CPU to a multi-host pod. The multi-process run
+itself cannot execute in a single-host CI environment — construction and
+slicing logic are unit-tested instead (`tests/test_distributed.py`).
+
+Conf keys (all optional; `coordinator_address` triggers initialization):
+
+    coordinator_address   host:port of process 0
+    num_processes         total process count
+    process_id            this process's rank
+    local_device_ids      comma list restricting visible local devices
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def maybe_initialize_distributed(opt: Dict[str, Any]) -> bool:
+    """Call ``jax.distributed.initialize`` when the conf asks for it.
+
+    Returns True when a multi-process runtime was (already) initialized.
+    Safe to call unconditionally and more than once.
+    """
+    import jax
+
+    if "coordinator_address" not in opt:
+        return False
+    if getattr(maybe_initialize_distributed, "_done", False):
+        return True
+    kwargs: Dict[str, Any] = {
+        "coordinator_address": str(opt["coordinator_address"])
+    }
+    if "num_processes" in opt:
+        kwargs["num_processes"] = int(opt["num_processes"])
+    if "process_id" in opt:
+        kwargs["process_id"] = int(opt["process_id"])
+    if "local_device_ids" in opt:
+        kwargs["local_device_ids"] = [
+            int(t) for t in str(opt["local_device_ids"]).split(",") if t
+        ]
+    jax.distributed.initialize(**kwargs)
+    maybe_initialize_distributed._done = True
+    log.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+    return True
+
+
+def hybrid_mesh_shape(
+    n_devices: int,
+    n_hosts: int,
+    tp: int = 1,
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """((ici_dp, tp), (dcn_dp, 1)) factorization of a global device count.
+
+    ``tp`` must fit inside one host's devices (tp collectives are per-layer
+    and must ride ICI, never DCN); the data-parallel axis factors into
+    dcn_dp = n_hosts (outer, over DCN) x ici_dp (inner, over ICI).
+    """
+    assert n_devices % n_hosts == 0, (n_devices, n_hosts)
+    per_host = n_devices // n_hosts
+    if tp > per_host or per_host % tp:
+        raise ValueError(
+            f"tensor_parallel={tp} must divide the per-host device count "
+            f"{per_host} (tp collectives must stay on ICI)"
+        )
+    return (per_host // tp, tp), (n_hosts, 1)
+
+
+def make_hybrid_mesh(tp: int = 1, devices: Optional[Sequence] = None):
+    """Global (dp, tp) Mesh spanning all processes.
+
+    Multi-process: built with ``mesh_utils.create_hybrid_device_mesh`` so
+    the DCN (host) axis is outermost in dp — JAX lowers the gradient psum
+    into an ICI reduce-scatter + DCN all-reduce + ICI all-gather.
+    Single-process: identical layout to ``mesh.make_mesh`` (no DCN axis).
+    """
+    import jax
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    from ruart_tpu.parallel.mesh import DP_AXIS, TP_AXIS, make_mesh
+
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = max(
+        1, len({getattr(d, "process_index", 0) for d in devices})
+    )
+    if n_hosts == 1:
+        return make_mesh(devices, tp=tp)
+    (ici_dp, tp_dim), (dcn_dp, _one) = hybrid_mesh_shape(
+        len(devices), n_hosts, tp
+    )
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_dp, tp_dim),
+        dcn_mesh_shape=(dcn_dp, 1),
+        devices=devices,
+    )
+    # hybrid shape is (dcn_dp * ici_dp, tp); flatten host-major dp
+    arr = np.asarray(arr).reshape(dcn_dp * ici_dp, tp_dim)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def process_batch_slice(
+    n: int, process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
+    """This host's contiguous slice of a global batch of ``n`` samples.
+
+    The global batch divides evenly over hosts (the trainer already
+    requires batch % dp == 0 and dp is host-major, so rows
+    [rank*n/p, (rank+1)*n/p) live on this host's devices).
+    """
+    import jax
+
+    p = process_count if process_count is not None else jax.process_count()
+    r = process_index if process_index is not None else jax.process_index()
+    assert n % p == 0, f"global batch {n} not divisible by {p} processes"
+    per = n // p
+    return slice(r * per, (r + 1) * per)
+
+
+def make_global_batch(local_tree: Any, mesh, n_global: Optional[int] = None):
+    """Assemble global device arrays from THIS host's local batch shard.
+
+    Every leaf's dim 0 is the batch axis: the local array is this host's
+    ``process_batch_slice`` of the global batch, and
+    ``jax.make_array_from_process_local_data`` glues the per-host shards
+    into one global array sharded P('dp') over the mesh — no host ever
+    materializes the full global batch on device. ``n_global`` defaults to
+    ``local_rows * process_count`` per leaf. Single-process this is exactly
+    ``device_put(x, NamedSharding(mesh, P('dp')))``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ruart_tpu.parallel.mesh import DP_AXIS
+
+    sharding = NamedSharding(mesh, P(DP_AXIS))
+    n_proc = jax.process_count()
+
+    def put(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        rows = n_global if n_global is not None else x.shape[0] * n_proc
+        global_shape = (rows,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape
+        )
+
+    return jax.tree.map(put, local_tree)
