@@ -1,19 +1,36 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end inference throughput of the flagship model.
+"""Benchmark: throughput of the flagship model, host pipeline included.
 
-Measures questions/sec of the full jitted forward (frozen BERT-base over
-question + 100 OCR + 30 OD candidates, fusion stack, candidate scoring) at
-the shipped ST-VQA shapes on the default device (TPU when available).
+Four configurations, each in a fresh subprocess (compiled executables and
+live buffers otherwise fragment HBM between configs):
 
-``vs_baseline`` compares against the ACTUAL torch reference model timed on
-CPU at batch 1 (the reference's deployment shape: `main_test.py`
-single-process inference; see ``bench_reference.py``). The baseline is
-measured once in a subprocess and cached in ``.bench_baseline.json``;
-the older self-measured JAX-CPU number is kept there under its own key
-for comparison but no longer used as the denominator.
+* ``e2e``   — the HEADLINE: offline test-set scoring exactly as
+  `main_test.py` runs it (dataset item build -> collate -> prefetch ->
+  jitted forward -> answer decode), measured through the real evaluator
+  loop on preprocessed synthetic data at batch 256. This is the
+  reference-comparable number (`SDNetTrainer.evaluate:128-176` — its
+  featurization is offline msgpack, same as here).
+* ``device`` — the jitted forward alone on pre-collated tensors (the
+  round-1/2 headline), plus achieved TFLOP/s and MFU from XLA's own cost
+  model: vs the self-measured ~110 TFLOP/s GEMM roofline of this chip and
+  vs the 197 TFLOP/s bf16 v5e spec peak.
+* ``serve`` — online serving via ``InferenceEngine.predict`` on raw
+  requests: host featurization (spaCy-free tagging, wordpiece, n-gram
+  synthesis) + collate overlapped against the device step. No reference
+  equivalent (the reference has no serving path); reported for honesty
+  about the full-host-path cost.
+* ``train`` — fused train step (fwd+bwd+Adamax) at the shipped batch 16.
+
+``vs_baseline`` compares the headline against the ACTUAL torch reference
+model timed on CPU at batch 1 (the reference's deployment shape:
+`main_test.py` single-process inference; see ``bench_reference.py``),
+measured once and cached in ``.bench_baseline.json``.
 
 Prints exactly one JSON line:
-  {"metric": "questions_per_sec", "value": N, "unit": "q/s", "vs_baseline": R}
+  {"metric": "questions_per_sec", "value": N, "unit": "q/s",
+   "vs_baseline": R, "device_qps": ..., "serve_qps": ...,
+   "train_step_ms": ..., "train_qps": ..., "tflops": ...,
+   "mfu_vs_roofline": ..., "mfu_vs_peak": ...}
 """
 
 from __future__ import annotations
@@ -104,6 +121,65 @@ def measure(fn, params, batch, iters: int = 10, warmup: int = 2) -> float:
     return batch_size * iters / dt
 
 
+def build_corpus(cfg, n: int, seed: int = 0, with_answers: bool = False):
+    """Synthetic preprocessed dataset at realistic candidate counts
+    (~50-100 OCR candidates per question after n-gram/ES merge, natural
+    string duplication from a bounded scene-text vocabulary)."""
+    from ruart_tpu.data.dataset import VQADataset
+    from ruart_tpu.data.preprocess import Preprocessor
+    from ruart_tpu.data.synthetic import make_synthetic_raw_dataset
+    from ruart_tpu.text.wordpiece import WordPieceTokenizer, build_demo_vocab
+
+    raw = make_synthetic_raw_dataset(
+        n, seed=seed, n_ocr_range=(15, 30), n_es=40, with_answers=with_answers
+    )
+    pre = Preprocessor(cfg)
+    data0 = pre._process_data(raw["data"][: min(n, 128)])
+    pre.train_vocab = pre._build_vocab(data0)
+    data = pre._process_data(raw["data"])
+    pre._assign_ids(data)
+    tok = WordPieceTokenizer(build_demo_vocab())
+    ds = VQADataset(
+        data, cfg, mode="train" if with_answers else "test", tokenizer=tok
+    )
+    return ds, tok, pre
+
+
+def build_corpus_model(batch_size: int, dtype: str, n: int, seed: int = 0,
+                       with_answers: bool = False):
+    """(cfg, dataset, collator, model, params) driven by REAL pipeline
+    items (not make_synthetic_batch tensors)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ruart_tpu.core.presets import stvqa_config
+    from ruart_tpu.data.collate import Collator
+    from ruart_tpu.models.bert.config import BertConfig
+    from ruart_tpu.models.fusion.model import RUArtModel
+    from ruart_tpu.models.fusion.spec import ModelSpec
+
+    cfg = stvqa_config(
+        vocab_size=5000, batch_size=batch_size,
+        preprocess_ocr_name="ocr_PMTD_ASTER,ES_ocr",
+        preprocess_od_name="OD_bottom-up",
+    )
+    root = tempfile.mkdtemp()
+    cfg.opt["datadir"] = root
+    cfg.opt["FEATURE_FOLDER"] = root + "/features"
+    ds, tok, pre = build_corpus(cfg, n, seed=seed, with_answers=with_answers)
+    spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
+    model = RUArtModel(spec)
+    coll = Collator(cfg)
+    q, ocr, od, gt, extra = coll([ds[i] for i in range(batch_size)])
+    params = model.init(
+        jax.random.PRNGKey(0),
+        *({k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)),
+    )
+    return cfg, ds, tok, pre, spec, model, coll, params
+
+
 def get_baseline() -> float:
     cache = {}
     if os.path.exists(CACHE):
@@ -135,64 +211,175 @@ def get_baseline() -> float:
     return qps
 
 
-MEASURE_SNIPPET = r"""
+# ---------------------------------------------------------------------------
+# Subprocess measurement bodies (one mode per process)
+# ---------------------------------------------------------------------------
+
+DEVICE_SNIPPET = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from ruart_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
+import json
 from bench import build_flagship, measure
 fn, params, batch = build_flagship(batch_size={bs}, dtype={dt!r})
 qps = measure(fn, params, batch, iters=8, warmup=2)
-print("QPS=" + repr(qps))
+out = {{"qps": qps}}
+try:
+    import jax
+    q, ocr, od = batch
+    lowered = jax.jit(lambda p, a, b, c: fn(p, a, b, c)).lower(params, q, ocr, od)
+    ca = lowered.compile().cost_analysis()
+    flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
+    if flops > 0:
+        step_s = {bs} / qps
+        out["tflops"] = flops / step_s / 1e12
+except Exception as e:
+    print("# cost_analysis failed:", e, file=sys.stderr)
+print("RESULT=" + json.dumps(out))
+"""
+
+E2E_SNIPPET = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from ruart_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from bench import build_corpus_model
+from ruart_tpu.eval.evaluator import evaluate
+from ruart_tpu.train.train_step import make_eval_step
+
+N = {n}
+cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
+    {bs}, {dt!r}, N)
+step = make_eval_step(model)
+evaluate(step, params, ds, cfg, coll)   # compile + cache warm
+t0 = time.perf_counter()
+r = evaluate(step, params, ds, cfg, coll)
+dt = time.perf_counter() - t0
+print("RESULT=" + json.dumps({{"qps": r["n"] / dt}}))
+"""
+
+SERVE_SNIPPET = r"""
+import sys, time, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+from ruart_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from bench import build_corpus_model
+from ruart_tpu.data.synthetic import make_synthetic_raw_dataset
+from ruart_tpu.serve import InferenceEngine
+
+N = {n}
+cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
+    {bs}, {dt!r}, 128)
+engine = InferenceEngine(cfg, spec, params, pre.train_vocab, tok)
+raw = make_synthetic_raw_dataset(N, seed=3, n_ocr_range=(15, 30), n_es=40,
+                                 with_answers=False)["data"]
+reqs = [
+    {{"question": d["question"], "image_width": d["image_width"],
+      "image_height": d["image_height"], "ocr": d["ocr_PMTD_ASTER"],
+      "od": d["OD_bottom-up"], "es": d["ES_ocr"]}}
+    for d in raw
+]
+engine.predict(reqs[: {bs}])    # compile + warm
+t0 = time.perf_counter()
+res = engine.predict(reqs)
+dt = time.perf_counter() - t0
+assert all(r is not None for r in res)
+print("RESULT=" + json.dumps({{"qps": len(reqs) / dt}}))
+"""
+
+TRAIN_SNIPPET = r"""
+import sys, time, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+from ruart_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+import jax
+from bench import build_corpus_model
+from ruart_tpu.train.loss import make_loss_fn
+from ruart_tpu.train.optim import make_optimizer, make_row_pinner
+from ruart_tpu.train.train_step import init_train_state, make_train_step
+
+BS = {bs}
+cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
+    BS, {dt!r}, max(BS, 64), with_answers=True)
+tx = make_optimizer("#", 1e-3, 10.0, params, spec, True)
+step = make_train_step(model, tx, make_loss_fn("BCE_D1"),
+                       make_row_pinner(params, spec, 1000))
+items = [ds[i % len(ds)] for i in range(BS)]
+q, ocr, od, gt, extra = coll(items)
+import jax.numpy as jnp
+q, ocr, od = ({{k: jnp.asarray(v) for k, v in t.items()}} for t in (q, ocr, od))
+gt = jnp.asarray(gt)
+state = init_train_state(params, tx, 0)
+for _ in range(3):
+    state, loss = step(state, q, ocr, od, gt)
+float(loss)
+iters = 10
+t0 = time.perf_counter()
+for _ in range(iters):
+    state, loss = step(state, q, ocr, od, gt)
+lv = float(loss)
+dt = time.perf_counter() - t0
+assert np.isfinite(lv)
+print("RESULT=" + json.dumps(
+    {{"step_ms": dt / iters * 1e3, "qps": BS * iters / dt}}))
 """
 
 
-def _measure_subprocess(batch_size: int, dtype: str, timeout: int = 2400):
-    """Each config runs in a fresh process: compiled executables and live
-    buffers from one config otherwise fragment HBM for the next."""
+def _run_mode(snippet: str, timeout: int = 2400, **fmt):
     proc = subprocess.run(
-        [sys.executable, "-c",
-         MEASURE_SNIPPET.format(repo=REPO, bs=batch_size, dt=dtype)],
+        [sys.executable, "-c", snippet.format(repo=REPO, **fmt)],
         capture_output=True, text=True, timeout=timeout,
     )
     for line in proc.stdout.splitlines():
-        if line.startswith("QPS="):
-            return float(line.split("=", 1)[1])
-    print(
-        f"# config b{batch_size}/{dtype} failed:\n{proc.stderr[-500:]}",
-        file=sys.stderr,
-    )
+        if line.startswith("RESULT="):
+            return json.loads(line.split("=", 1)[1])
+    print(f"# bench mode failed:\n{proc.stderr[-800:]}", file=sys.stderr)
     return None
+
+
+# Self-measured GEMM roofline of this chip (8192^3 bf16, round 1) and the
+# v5e spec sheet bf16 peak.
+ROOFLINE_TFLOPS = 110.0
+PEAK_TFLOPS = 197.0
 
 
 def main():
     baseline = get_baseline()
     sys.path.insert(0, REPO)
-    best = 0.0
-    # batch 256 is the offline test-set scoring shape (main_test.py runs
-    # the whole split; batch size is a free deployment choice): measured
-    # 819 vs 730 q/s at batch 64 on v5e-1. Smaller configs are fallbacks
-    # so the bench still reports if the big shape OOMs on some device.
-    for batch_size, dtype in (
-        (256, "bfloat16"), (64, "bfloat16"), (64, "float32"), (16, "float32")
-    ):
-        qps = _measure_subprocess(batch_size, dtype)
-        if qps:
-            best = max(best, qps)
-        if best > 0 and batch_size >= 64:
-            # one successful large-batch config is the headline; skip the
-            # smaller fallbacks to keep bench wall-time bounded
-            break
-    print(
-        json.dumps(
-            {
-                "metric": "questions_per_sec",
-                "value": round(best, 3),
-                "unit": "q/s",
-                "vs_baseline": round(best / baseline, 3) if baseline else None,
-            }
-        )
+    out = {"metric": "questions_per_sec", "unit": "q/s"}
+
+    device = _run_mode(DEVICE_SNIPPET, bs=256, dt="bfloat16") or _run_mode(
+        DEVICE_SNIPPET, bs=64, dt="bfloat16"
     )
+    if device:
+        out["device_qps"] = round(device["qps"], 3)
+        if "tflops" in device:
+            out["tflops"] = round(device["tflops"], 2)
+            out["mfu_vs_roofline"] = round(device["tflops"] / ROOFLINE_TFLOPS, 4)
+            out["mfu_vs_peak"] = round(device["tflops"] / PEAK_TFLOPS, 4)
+
+    e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024)
+    if e2e:
+        out["e2e_qps"] = round(e2e["qps"], 3)
+
+    serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024)
+    if serve:
+        out["serve_qps"] = round(serve["qps"], 3)
+
+    train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16")
+    if train:
+        out["train_step_ms"] = round(train["step_ms"], 2)
+        out["train_qps"] = round(train["qps"], 3)
+
+    # headline: the end-to-end offline-scoring number (host pipeline
+    # included); device-only is the fallback if the e2e mode failed
+    headline = out.get("e2e_qps") or out.get("device_qps") or 0.0
+    out["value"] = round(headline, 3)
+    out["vs_baseline"] = round(headline / baseline, 3) if baseline else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
