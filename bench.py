@@ -228,8 +228,10 @@ out = {{"qps": qps}}
 try:
     import jax
     q, ocr, od = batch
-    lowered = jax.jit(lambda p, a, b, c: fn(p, a, b, c)).lower(params, q, ocr, od)
-    ca = lowered.compile().cost_analysis()
+    # fn is already jitted: lowering it again hits the in-process trace
+    # cache and the persistent compile cache (a fresh jit wrapper would
+    # recompile the whole program just for the cost model)
+    ca = fn.lower(params, q, ocr, od).compile().cost_analysis()
     flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
     if flops > 0:
         step_s = {bs} / qps
@@ -271,7 +273,7 @@ from ruart_tpu.serve import InferenceEngine
 
 N = {n}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
-    {bs}, {dt!r}, 128)
+    {bs}, {dt!r}, {bs})
 engine = InferenceEngine(cfg, spec, params, pre.train_vocab, tok)
 raw = make_synthetic_raw_dataset(N, seed=3, n_ocr_range=(15, 30), n_es=40,
                                  with_answers=False)["data"]

@@ -46,6 +46,22 @@ def _pick_bucket(buckets: Sequence[int], needed: int) -> int:
     return buckets[-1]
 
 
+def _halving_ladder(cap: int, steps: int, align: int, floor: int) -> Tuple[int, ...]:
+    """Ascending bucket ladder: ``cap`` plus up to ``steps - 1`` halvings,
+    each rounded up to ``align`` and floored at ``floor``; candidates that
+    save under 25% vs the last kept size are skipped (a compiled program
+    that buys <25% is not worth its compile)."""
+    out, size, last = [cap], cap, cap
+    for _ in range(max(1, steps) - 1):
+        size = max(floor, ((size // 2 + align - 1) // align) * align)
+        if size < last * 3 // 4:
+            out.append(size)
+            last = size
+        if size <= floor:
+            break
+    return tuple(sorted(set(out)))
+
+
 def _pad_ids(rows: Sequence[Sequence[int]], max_len: int) -> np.ndarray:
     out = np.zeros((len(rows), max_len), dtype=np.int32)
     for i, row in enumerate(rows):
@@ -113,9 +129,22 @@ class Collator:
         # PROGRESS_NOTES.md round 2). Set bert_dedup_frac 0 to disable.
         self.dedup_frac = float(cfg.opt.get("bert_dedup_frac", 0.25))
         # unique-table cap buckets (power-of-2 ladder below the cap):
-        # 1 = single fixed cap shape; default 2 halves the encoded rows on
-        # high-duplication batches at the cost of one extra jit program
-        self.dedup_buckets = int(cfg.opt.get("bert_dedup_buckets", 2))
+        # 1 = single fixed cap shape; default 4 because batch-global
+        # duplication grows SUBLINEARLY with batch (the unique-string pool
+        # is the scene-text vocabulary, not the batch): at batch 256 the
+        # realistic pipeline yields ~650 unique OCR rows against a 6400-row
+        # cap, so a 2-step ladder bottoming at 3200 encodes ~80% pad. Each
+        # extra step costs one jit program (bounded, warmup-precompiled).
+        self.dedup_buckets = int(cfg.opt.get("bert_dedup_buckets", 4))
+        # unique-table *sequence* buckets: candidate strings are short
+        # (realistic n-gram candidates max out ~14 pieces vs the 30 cap),
+        # and the encoder output per row is independent of trailing pad
+        # (masked attention keys, per-position layer norm) — so the unique
+        # table also pads its wordpiece axis to the smallest 8-aligned
+        # halving bucket that fits the batch's longest row. Exact by
+        # construction; the dense [B, N, Lb] block keeps the conf cap so
+        # fusion-stack shapes (and scores) are untouched.
+        self.dedup_len_buckets = int(cfg.opt.get("bert_dedup_len_buckets", 2))
         self.dedup_fallbacks = 0
         # length-bucketed compilation (SURVEY §3.5 #5): per-batch shapes pad
         # to the smallest bucket that fits instead of always the conf cap,
@@ -134,13 +163,40 @@ class Collator:
         self.ocr_len_buckets = _parse_buckets(
             cfg.opt.get("bucket_ocr_bert_len"), cfg.max_ocr_bert_len, floor=4
         )
+        # EXACT per-batch buckets (on by default — unlike the opt-in
+        # bucket_ocr_num/bucket_ocr_bert_len above, these cannot move any
+        # score):
+        # * question-BERT width: the q word axis (which feeds the
+        #   pad-sensitive BiLSTMs) keeps its cap; only the wordpiece axis
+        #   shrinks, and BERT output per row ignores trailing pad. Real
+        #   questions run ~28 pieces against the 50 cap.
+        # * candidate word axis (OCR/OD): realistic candidates are 1-5
+        #   words against the 20-word cap, and the whole word-level
+        #   pipeline is pad-exact — per-position embeds, mask-attended
+        #   pre-align, and the FORWARD-only multi2one scan's last-valid
+        #   state. A bidirectional multi2one (multi2one_bidir) runs its
+        #   backward pass THROUGH trailing pads (reference-inherent pad
+        #   sensitivity, `Layers.py:156-180`), so the trim is gated off.
+        self.q_bert_buckets = _halving_ladder(
+            cfg.max_q_bert_len, int(cfg.opt.get("bucket_q_bert_len", 2)),
+            align=8, floor=8,
+        )
+        word_steps = int(cfg.opt.get("bucket_word_len", 3))
+        if bool(cfg.opt.get("multi2one_bidir", False)):
+            word_steps = 1
+        self.ocr_word_buckets = _halving_ladder(
+            cfg.max_ocr_len, word_steps, align=4, floor=4
+        )
+        self.od_word_buckets = _halving_ladder(
+            cfg.max_od_len, word_steps, align=4, floor=4
+        )
 
     # -- candidate block -------------------------------------------------
     def _collate_items(
         self,
         batch_items: Sequence[Sequence[dict]],
         max_num: int,
-        max_len: int,
+        word_buckets: Sequence[int],
         max_bert_len: int,
     ) -> Dict[str, np.ndarray]:
         """Vectorized ragged->fixed packing: one flattened candidate list,
@@ -154,6 +210,19 @@ class Collator:
             k for k in keys if k in ("glove", "fasttext", "phoc", "pos", "ent")
         ]
         has_bert = "bert" in keys
+        len_key = "fasttext" if "FastText" in self.cfg.opt else "glove"
+
+        # exact word-axis bucket: pad to the smallest ladder width that
+        # holds the batch's longest (cap-truncated) candidate
+        max_len = word_buckets[-1]
+        if len(word_buckets) > 1:
+            need_w = 1
+            for items in batch_items:
+                for it in items:
+                    n = len(it[len_key])
+                    if n > need_w:
+                        need_w = n
+            max_len = _pick_bucket(word_buckets, need_w)
 
         items_flat = []
         num = np.zeros((B,), dtype=np.int32)
@@ -195,7 +264,6 @@ class Collator:
             compact[np.arange(L)[None, :] < lens[:, None]] = vals
             return compact, lens
 
-        len_key = "fasttext" if "FastText" in self.cfg.opt else "glove"
         len_arr = None
         for k in id_keys:
             compact, lens = fill_ids(k, max_len)
@@ -255,11 +323,12 @@ class Collator:
         return max(64, int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64)
 
     def dedup_sizes(self, B: int, max_num: int) -> Tuple[int, ...]:
-        """Every unique-table size this collator can emit for a
+        """Every unique-table ROW count this collator can emit for a
         [B, max_num] block — the bucket ladder under the cap, or () when
         dedup can never attach (off, or the cap can't beat the dense
-        shape). Serving warmup precompiles exactly these plus the dense
-        fallback (`serve.InferenceEngine.warmup`)."""
+        shape). Serving warmup precompiles these crossed with
+        ``dedup_len_ladder`` plus the dense fallback
+        (`serve.InferenceEngine.warmup`)."""
         if self.dedup_frac <= 0:
             return ()
         cap = self.dedup_cap(B, max_num)
@@ -281,6 +350,16 @@ class Collator:
                 break
             size = max(64, ((size // 2 + 63) // 64) * 64)
         return tuple(sorted(set(steps)))
+
+    def dedup_len_ladder(self, max_bert_len: int) -> Tuple[int, ...]:
+        """Wordpiece-axis sizes the unique table can pad to, ascending,
+        largest = the block's bert-length cap. Halving steps, 8-aligned
+        (sublane-friendly), skipping steps that save under 25% (not worth
+        a compiled program). Single-entry ladder when
+        ``bert_dedup_len_buckets 1`` restores the fixed-width table."""
+        return _halving_ladder(
+            max_bert_len, self.dedup_len_buckets, align=8, floor=8
+        )
 
     def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
         """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] when
@@ -309,7 +388,14 @@ class Collator:
             )
             return
         size = _pick_bucket(self._dedup_ladder(cap), unique.shape[0])
-        pad = np.zeros((size - unique.shape[0], max_bert_len), dtype=np.int32)
+        # wordpiece-axis bucket: trim trailing all-pad columns to the
+        # smallest ladder width that holds the longest row (exact — rows
+        # are left-aligned and BERT output per row ignores trailing pad)
+        nz_cols = (unique != 0).any(axis=0)
+        need_l = int(nz_cols.nonzero()[0][-1]) + 1 if nz_cols.any() else 1
+        lsz = _pick_bucket(self.dedup_len_ladder(max_bert_len), need_l)
+        unique = unique[:, :lsz]
+        pad = np.zeros((size - unique.shape[0], lsz), dtype=np.int32)
         out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
         out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
 
@@ -317,6 +403,13 @@ class Collator:
     def _collate_q(self, q_list: Sequence[dict]) -> Dict[str, np.ndarray]:
         B = len(q_list)
         Lq, Lqb = self.cfg.max_q_len, self.cfg.max_q_bert_len
+        # exact wordpiece-width bucket (the q WORD axis keeps its cap —
+        # it feeds the pad-sensitive question BiLSTMs)
+        if len(self.q_bert_buckets) > 1 and "bert" in q_list[0]:
+            need = max(
+                (min(len(q["bert"]), Lqb) for q in q_list), default=1
+            )
+            Lqb = _pick_bucket(self.q_bert_buckets, need)
         keys = q_list[0].keys()
         out: Dict[str, np.ndarray] = {}
         for k in keys:
@@ -373,11 +466,11 @@ class Collator:
         ocr_items = [t["ocr"] for t in batch]
         n_bucket, l_bucket = self._ocr_buckets(ocr_items)
         ocr = self._collate_items(
-            ocr_items, n_bucket, cfg.max_ocr_len, l_bucket,
+            ocr_items, n_bucket, self.ocr_word_buckets, l_bucket,
         )
         od = self._collate_items(
             [t["od"] for t in batch],
-            cfg.max_od_num, cfg.max_od_len, cfg.max_od_bert_len,
+            cfg.max_od_num, self.od_word_buckets, cfg.max_od_bert_len,
         )
         # targets track the bucketed score width (fixed/yesno/no-answer
         # slots are unaffected; masked pad columns carry zero labels)

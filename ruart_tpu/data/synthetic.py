@@ -77,15 +77,18 @@ def make_synthetic_batch(
     bert_vocab: Optional[int] = None,
     ocr_num: Optional[int] = None,
     ocr_bert_len: Optional[int] = None,
+    q_bert_len: Optional[int] = None,
+    ocr_word_len: Optional[int] = None,
+    od_word_len: Optional[int] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any], np.ndarray]:
     """Random (q, ocr, od, targets) with the conf's fixed shapes.
-    ``ocr_num`` / ``ocr_bert_len`` override the OCR block's caps (used to
-    warm up length-bucket signatures — `serve.InferenceEngine.warmup`)."""
+    The keyword overrides replace individual shape caps (used to warm up
+    length-bucket signatures — `serve.InferenceEngine.warmup`)."""
     rng = np.random.RandomState(seed)
     B = batch_size
     bert_vocab = bert_vocab or (spec.bert.vocab_size if spec.bert else 100)
     vocab = max(spec.vocab_size, 6)
-    Lq, Lqb = cfg.max_q_len, cfg.max_q_bert_len
+    Lq, Lqb = cfg.max_q_len, q_bert_len or cfg.max_q_bert_len
 
     q: Dict[str, Any] = {
         "glove": np.zeros((B, Lq), dtype=np.int32),
@@ -114,12 +117,14 @@ def make_synthetic_batch(
     min_ocr = (spec.es_ocr_len + 1) if spec.use_es else 1
     n_ocr = ocr_num or cfg.max_ocr_num
     ocr = _cand_block(
-        rng, B, n_ocr, cfg.max_ocr_len, ocr_bert_len or cfg.max_ocr_bert_len,
+        rng, B, n_ocr, ocr_word_len or cfg.max_ocr_len,
+        ocr_bert_len or cfg.max_ocr_bert_len,
         vocab, bert_vocab, spec.pos_vocab, spec.ent_vocab,
         min_num=min(min_ocr, n_ocr),
     )
     od = _cand_block(
-        rng, B, cfg.max_od_num, cfg.max_od_len, cfg.max_od_bert_len,
+        rng, B, cfg.max_od_num, od_word_len or cfg.max_od_len,
+        cfg.max_od_bert_len,
         vocab, bert_vocab, spec.pos_vocab, spec.ent_vocab,
     )
     n_scores = (

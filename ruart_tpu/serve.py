@@ -166,49 +166,117 @@ class InferenceEngine:
         self.params = quantize_bert_params(self.params)
         return self
 
-    def warmup(self) -> int:
+    def warmup(self, max_programs: Optional[int] = None) -> int:
         """Precompile every batch signature the collator can emit — the
-        (OCR num/len bucket) x (OCR dedup size or dense) x (OD dedup size
-        or dense) product — so no live request ever pays a compile. The
-        full cross product matters: each block independently falls back
-        to dense when its uniques overflow its cap, so mixed
-        (dense OCR, deduped OD) batches occur live. Returns the number of
-        programs compiled."""
+        (OCR num/len bucket) x (q-BERT width) x (OCR/OD word width) x
+        (OCR dedup (rows, len) or dense) x (OD dedup (rows, len) or dense)
+        product — so no live request ever pays a compile. The full cross
+        product matters: each block independently falls back to dense when
+        its uniques overflow its cap, and every bucket axis varies per
+        batch. The product is bounded by the conf ladders but multiplies
+        quickly; ``max_programs`` truncates it (logged — later signatures
+        then compile lazily, amortized by the persistent compile cache).
+        For a tighter set, use :meth:`warmup_calibrated` with a sample of
+        real traffic. Returns the number of programs compiled."""
+        import itertools
+        import logging
+
         from ruart_tpu.data.synthetic import make_synthetic_batch
 
+        log = logging.getLogger(__name__)
         coll, cfg = self.collator, self.cfg
         count = 0
         B = self.batch_size
-        for n_bucket in coll.ocr_num_buckets:
-            for l_bucket in coll.ocr_len_buckets:
-                q, ocr, od, _ = make_synthetic_batch(
-                    self.spec, cfg, B, seed=0,
-                    ocr_num=n_bucket, ocr_bert_len=l_bucket,
-                )
-                ocr_opts = (None,) + coll.dedup_sizes(B, n_bucket)
-                od_opts = (None,) + coll.dedup_sizes(B, od["bert"].shape[1])
-                for size_ocr in ocr_opts:
-                    for size_od in od_opts:
-                        ocr_v, od_v = dict(ocr), dict(od)
-                        for block, size in ((ocr_v, size_ocr), (od_v, size_od)):
-                            if size is None:
-                                block.pop("bert_unique", None)
-                                block.pop("bert_inverse", None)
-                                continue
-                            Bb, N, Lb = block["bert"].shape
-                            uniq = block["bert"].reshape(Bb * N, Lb)[:size]
-                            if uniq.shape[0] < size:
-                                uniq = np.concatenate([
-                                    uniq,
-                                    np.zeros(
-                                        (size - uniq.shape[0], Lb), np.int32
-                                    ),
-                                ])
-                            block["bert_unique"] = uniq.astype(np.int32)
-                            block["bert_inverse"] = np.zeros((Bb, N), np.int32)
-                        self.eval_step(self.params, q, ocr_v, od_v, None)
-                        count += 1
+
+        def dedup_opts(max_num: int, bert_len: int):
+            return (None,) + tuple(
+                (rows, lsz)
+                for rows in coll.dedup_sizes(B, max_num)
+                for lsz in coll.dedup_len_ladder(bert_len)
+            )
+
+        shape_axes = list(itertools.product(
+            coll.ocr_num_buckets, coll.ocr_len_buckets, coll.q_bert_buckets,
+            coll.ocr_word_buckets, coll.od_word_buckets,
+        ))
+        for n_bucket, l_bucket, q_len, ocr_w, od_w in shape_axes:
+            q, ocr, od, _ = make_synthetic_batch(
+                self.spec, cfg, B, seed=0,
+                ocr_num=n_bucket, ocr_bert_len=l_bucket, q_bert_len=q_len,
+                ocr_word_len=ocr_w, od_word_len=od_w,
+            )
+            ocr_opts = dedup_opts(n_bucket, l_bucket)
+            od_opts = dedup_opts(od["bert"].shape[1], od["bert"].shape[2])
+            for opt_ocr, opt_od in itertools.product(ocr_opts, od_opts):
+                if max_programs is not None and count >= max_programs:
+                    log.warning(
+                        "warmup stopped at max_programs=%d; remaining "
+                        "signatures compile lazily on first use",
+                        max_programs,
+                    )
+                    return count
+                ocr_v, od_v = dict(ocr), dict(od)
+                for block, opt_rl in ((ocr_v, opt_ocr), (od_v, opt_od)):
+                    if opt_rl is None:
+                        block.pop("bert_unique", None)
+                        block.pop("bert_inverse", None)
+                        continue
+                    size, lsz = opt_rl
+                    Bb, N, Lb = block["bert"].shape
+                    uniq = block["bert"].reshape(Bb * N, Lb)[:size, :lsz]
+                    if uniq.shape[0] < size:
+                        uniq = np.concatenate([
+                            uniq,
+                            np.zeros((size - uniq.shape[0], lsz), np.int32),
+                        ])
+                    block["bert_unique"] = uniq.astype(np.int32)
+                    block["bert_inverse"] = np.zeros((Bb, N), np.int32)
+                self.eval_step(self.params, q, ocr_v, od_v, None)
+                count += 1
         return count
+
+    def warmup_calibrated(self, samples: Sequence[Dict[str, Any]]) -> int:
+        """Precompile exactly the signatures a calibration sample of real
+        traffic produces, plus the all-caps dense fallback every overflow
+        lands on — a small, representative alternative to the full
+        :meth:`warmup` cross product. Returns programs compiled."""
+        from ruart_tpu.data.synthetic import make_synthetic_batch
+
+        seen = set()
+        count = 0
+        for _, _, (q, ocr, od, _gt, _extra) in self._collated_batches(samples):
+            # the observed signature, plus its dense-fallback variant (a
+            # live dedup-cap overflow keeps the batch's other buckets but
+            # drops the unique tables)
+            dense_ocr = {
+                k: v for k, v in ocr.items()
+                if k not in ("bert_unique", "bert_inverse")
+            }
+            dense_od = {
+                k: v for k, v in od.items()
+                if k not in ("bert_unique", "bert_inverse")
+            }
+            for qq, oo, dd in ((q, ocr, od), (q, dense_ocr, dense_od)):
+                sig = tuple(
+                    (k, v.shape)
+                    for t in (qq, oo, dd)
+                    for k, v in sorted(t.items())
+                )
+                if sig in seen:
+                    continue
+                seen.add(sig)
+                self.eval_step(self.params, qq, oo, dd, None)
+                count += 1
+        # the panic program: conf caps, no dedup (an overflow on every
+        # axis at once lands here)
+        q, ocr, od, _ = make_synthetic_batch(
+            self.spec, self.cfg, self.batch_size, seed=0
+        )
+        for block in (ocr, od):
+            block.pop("bert_unique", None)
+            block.pop("bert_inverse", None)
+        self.eval_step(self.params, q, ocr, od, None)
+        return count + 1
 
     # -- constructors ----------------------------------------------------
     @classmethod

@@ -248,6 +248,7 @@ class Trainer:
                     Config({
                         **self.opt, "bert_dedup_frac": 0,
                         "bucket_ocr_num": 0, "bucket_ocr_bert_len": 0,
+                        "bucket_q_bert_len": 1, "bucket_word_len": 1,
                     })
                 )
             else:

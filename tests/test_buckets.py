@@ -25,6 +25,17 @@ def test_parse_buckets():
     assert _pick_bucket((25, 50, 100), 150) == 100  # clamp to cap
 
 
+def test_halving_ladder():
+    from ruart_tpu.data.collate import _halving_ladder
+
+    assert _halving_ladder(50, 2, 8, 8) == (32, 50)
+    assert _halving_ladder(30, 2, 8, 8) == (16, 30)
+    assert _halving_ladder(10, 2, 8, 8) == (10,)  # 8 saves <25%: skipped
+    assert _halving_ladder(20, 3, 4, 4) == (8, 12, 20)
+    assert _halving_ladder(10, 3, 4, 4) == (4, 10)
+    assert _halving_ladder(100, 1, 8, 8) == (100,)
+
+
 def _mini_items(cfg, n_items, n_cands, n_words=2, seed=0):
     """Hand-built collator inputs with n_cands candidates per item."""
     rng = np.random.RandomState(seed)
@@ -138,3 +149,51 @@ def test_bucket_ladder_bounds_compile_count(shipped_conf_opt):
         shapes.add(tuple(ocr["bert"].shape))
     assert len(shapes) <= len(coll.ocr_num_buckets) * len(coll.ocr_len_buckets)
     assert len(shapes) >= 2  # the stream actually exercised several buckets
+
+
+def test_exact_buckets_match_caps(shipped_conf_opt):
+    """The default (always-on) exact buckets — question-BERT width and the
+    candidate word axis — must reproduce the cap-padded scores EXACTLY
+    (unlike the opt-in candidate-count buckets above, whose drift is
+    reference-inherent): per-position embeds, mask-attended pre-align and
+    the forward-only multi2one last-valid state all ignore trailing pad."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(max_ocr_len=12, max_od_len=8, max_q_bert_len=24)
+    cfg = Config(opt)
+    items = _mini_items(cfg, 2, n_cands=5)
+
+    auto = Collator(cfg)(items)
+    pinned = Collator(
+        Config(dict(opt, bucket_q_bert_len=1, bucket_word_len=1))
+    )(items)
+    # short items landed in sub-cap buckets
+    assert auto[1]["glove"].shape[2] == 4
+    assert auto[2]["glove"].shape[2] == 4
+    assert auto[0]["bert"].shape[1] == 16
+    assert pinned[1]["glove"].shape[2] == 12
+    assert pinned[0]["bert"].shape[1] == 24
+
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    model = RUArtModel(spec)
+    ja = [jax.tree.map(jnp.asarray, t) for t in auto[:3]]
+    jp = [jax.tree.map(jnp.asarray, t) for t in pinned[:3]]
+    params = model.init(jax.random.PRNGKey(0), *jp)
+    s_pin = np.asarray(model.apply(params, *jp))
+    s_auto = np.asarray(model.apply(params, *ja))
+    assert (s_auto.argmax(-1) == s_pin.argmax(-1)).all()
+    np.testing.assert_allclose(s_auto, s_pin, atol=1e-5)
+
+
+def test_word_bucket_gated_for_bidir_multi2one(shipped_conf_opt):
+    """multi2one_bidir runs its backward LSTM through trailing pads
+    (reference-inherent pad sensitivity), so the word-axis trim must
+    disable itself; the exact q-BERT trim stays on."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["max_ocr_len"] = 12
+    assert Collator(Config(opt)).ocr_word_buckets == (4, 8, 12)
+    opt2 = dict(opt, multi2one_bidir=True)
+    coll2 = Collator(Config(opt2))
+    assert coll2.ocr_word_buckets == (12,)
+    assert len(coll2.q_bert_buckets) > 1

@@ -123,7 +123,9 @@ def test_dedup_cap_ladder(shipped_conf_opt):
     opt = dict(shipped_conf_opt)
     opt.update(TINY_OVERRIDES)
     coll = Collator(Config(opt))
-    assert coll._dedup_ladder(1600) == (832, 1600)
+    # default 4 halving steps: batch-global duplication grows sublinearly
+    # with batch, so the ladder must reach well below cap/2
+    assert coll._dedup_ladder(1600) == (256, 448, 832, 1600)
     assert coll._dedup_ladder(64) == (64,)
 
     opt3 = dict(opt, bert_dedup_buckets=3)
@@ -145,6 +147,67 @@ def test_dedup_cap_ladder(shipped_conf_opt):
     # dedup semantics unchanged: every row reconstructs exactly
     rec = out["bert_unique"][out["bert_inverse"]]
     np.testing.assert_array_equal(rec, out["bert"])
+
+
+def test_dedup_len_ladder(shipped_conf_opt):
+    """Wordpiece-axis ladder: 8-aligned halving steps under the block cap,
+    steps saving <25% skipped, bert_dedup_len_buckets 1 restores the fixed
+    width."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    coll = Collator(Config(opt))
+    assert coll.dedup_len_ladder(30) == (16, 30)
+    assert coll.dedup_len_ladder(16) == (8, 16)
+    assert coll.dedup_len_ladder(10) == (10,)  # 8 saves <25%: skipped
+    opt1 = dict(opt, bert_dedup_len_buckets=1)
+    assert Collator(Config(opt1)).dedup_len_ladder(30) == (30,)
+    opt3 = dict(opt, bert_dedup_len_buckets=3)
+    assert Collator(Config(opt3)).dedup_len_ladder(30) == (8, 16, 30)
+
+
+def test_dedup_len_bucket_matches_dense(shipped_conf_opt):
+    """When every row in the batch is short, the unique table trims its
+    wordpiece axis to the smallest ladder width — numerically identical to
+    the dense path (BERT output per row is independent of trailing pad)."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["max_ocr_bert_len"] = 16
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+
+    # make every OCR row fit 8 pieces so the (8, 16) ladder trims to 8,
+    # and plant duplication so the row dedup is non-trivial
+    ocr["bert"][:, :, 8:] = 0
+    ocr["bert_offsets"][..., 0] = np.minimum(ocr["bert_offsets"][..., 0], 7)
+    ocr["bert_offsets"][..., 1] = np.minimum(ocr["bert_offsets"][..., 1], 8)
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr[k][:, 1:6] = ocr[k][:, 0:1]
+    ocr["len"][:, 1:6] = ocr["len"][:, 0:1]
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+    dense = np.asarray(model.apply(params, jq, jocr, jod))
+
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    B, N, Lb = ocr["bert"].shape
+    out = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_unique" in out
+    assert out["bert_unique"].shape[1] == 8  # trimmed wordpiece axis
+    # exact reconstruction on the trimmed width; the rest was all pad
+    rec = out["bert_unique"][out["bert_inverse"]]
+    np.testing.assert_array_equal(rec, ocr["bert"][..., :8])
+
+    ocr_d = dict(ocr)
+    ocr_d["bert_unique"] = out["bert_unique"]
+    ocr_d["bert_inverse"] = out["bert_inverse"]
+    deduped = np.asarray(
+        model.apply(params, jq, jax.tree.map(jnp.asarray, ocr_d), jod)
+    )
+    np.testing.assert_allclose(deduped, dense, atol=2e-5)
 
 
 def test_dedup_on_mesh_matches_dense_and_single_device(shipped_conf_opt):
