@@ -10,6 +10,7 @@ id != 0, `num`/`len` carry candidate/word counts. Unlike the reference
 from __future__ import annotations
 
 import logging
+from itertools import chain
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -63,26 +64,33 @@ def _halving_ladder(cap: int, steps: int, align: int, floor: int) -> Tuple[int, 
 
 
 def _pad_ids(rows: Sequence[Sequence[int]], max_len: int) -> np.ndarray:
-    out = np.zeros((len(rows), max_len), dtype=np.int32)
-    for i, row in enumerate(rows):
-        row = list(row)[:max_len]
-        out[i, : len(row)] = row
+    n = len(rows)
+    rows = [r[:max_len] if len(r) > max_len else r for r in rows]
+    lens = np.fromiter(map(len, rows), np.int64, n)
+    vals = np.fromiter(chain.from_iterable(rows), np.int32, int(lens.sum()))
+    out = np.zeros((n, max_len), dtype=np.int32)
+    out[np.arange(max_len)[None, :] < lens[:, None]] = vals
     return out
 
 
 def _pad_offsets(
     offset_rows: Sequence[Sequence[Tuple[int, int]]], max_words: int, max_bert: int
 ) -> np.ndarray:
-    out = np.zeros((len(offset_rows), max_words, 2), dtype=np.int32)
-    for i, offs in enumerate(offset_rows):
-        offs = offs[:max_words] if len(offs) > max_words else offs
-        if not offs:
-            continue
-        a = np.asarray(offs, dtype=np.int32)
-        st = np.minimum(a[:, 0], max_bert - 1)
-        ed = np.maximum(np.minimum(a[:, 1], max_bert), st)
-        out[i, : len(offs), 0] = st
-        out[i, : len(offs), 1] = ed
+    n = len(offset_rows)
+    rows = [
+        o[:max_words] if len(o) > max_words else o for o in offset_rows
+    ]
+    counts = np.fromiter(map(len, rows), np.int64, n)
+    pairs = np.fromiter(
+        chain.from_iterable(chain.from_iterable(rows)),
+        np.int32,
+        int(counts.sum()) * 2,
+    ).reshape(-1, 2)
+    st = np.minimum(pairs[:, 0], max_bert - 1)
+    ed = np.maximum(np.minimum(pairs[:, 1], max_bert), st)
+    out = np.zeros((n, max_words, 2), dtype=np.int32)
+    mask = np.arange(max_words)[None, :] < counts[:, None]
+    out[mask] = np.stack([st, ed], axis=1)
     return out
 
 
@@ -251,22 +259,41 @@ class Collator:
             return full.reshape((B, max_num) + trail)
 
         def fill_ids(key: str, L: int):
-            """-> ([R, L] compact rows, capped lengths)."""
-            lens = np.fromiter(
-                (min(len(it[key]), L) for it in items_flat), np.int64, R
-            )
+            """-> ([R, L] compact rows, capped lengths). C-level value walk:
+            chain.from_iterable instead of a nested python genexpr (the
+            per-value generator frames dominated collate at batch 256)."""
+            rows = [it[key] for it in items_flat]
+            lens = np.fromiter(map(len, rows), np.int64, R)
+            if (lens > L).any():
+                rows = [
+                    r[:L] if n > L else r for r, n in zip(rows, lens)
+                ]
+                np.minimum(lens, L, out=lens)
             vals = np.fromiter(
-                (v for it, n in zip(items_flat, lens) for v in it[key][:n]),
-                np.int32,
-                int(lens.sum()),
+                chain.from_iterable(rows), np.int32, int(lens.sum())
             )
             compact = np.zeros((R, L), np.int32)
             compact[np.arange(L)[None, :] < lens[:, None]] = vals
             return compact, lens
 
         len_arr = None
+        # id lists are shared by reference where the dataset emits the same
+        # underlying sequence under several keys (glove/fasttext/phoc are
+        # all the word-id list) — pack each distinct sequence once
+        filled: Dict[str, tuple] = {}
         for k in id_keys:
-            compact, lens = fill_ids(k, max_len)
+            src = next(
+                (
+                    k2
+                    for k2 in filled
+                    if all(it[k2] is it[k] for it in items_flat)
+                ),
+                None,
+            )
+            filled[k] = filled[src] if src is not None else fill_ids(k, max_len)
+            compact, lens = filled[k]
+            # fresh scatter per key: outputs must not alias each other
+            # (callers may mutate individual blocks)
             out[k] = scatter(compact, max_len)
             if k == len_key:
                 len_arr = lens
@@ -293,16 +320,15 @@ class Collator:
             # offsets: [(st, ed)] pairs per candidate word, clipped to the
             # bert length cap, ed >= st
             offs = [it["bert_offsets"] for it in items_flat]
-            counts = np.fromiter(
-                (min(len(o), max_len) for o in offs), np.int64, R
-            )
-            pairs = np.fromiter(
-                (
-                    x
+            counts = np.fromiter(map(len, offs), np.int64, R)
+            if (counts > max_len).any():
+                offs = [
+                    o[:max_len] if n > max_len else o
                     for o, n in zip(offs, counts)
-                    for pair in o[:n]
-                    for x in pair
-                ),
+                ]
+                np.minimum(counts, max_len, out=counts)
+            pairs = np.fromiter(
+                chain.from_iterable(chain.from_iterable(offs)),
                 np.int32,
                 int(counts.sum()) * 2,
             ).reshape(-1, 2)

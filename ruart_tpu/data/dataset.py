@@ -73,7 +73,11 @@ class VQADataset:
         self.od_name_list = str(self.opt["od_name_list"]).split(",")
         self.q_embedding = cfg.q_embedding
         self.ocr_embedding = cfg.ocr_embedding
+        self._emb_names = frozenset(self.q_embedding) | frozenset(
+            self.ocr_embedding
+        )
         self.score_name = self.opt["score_name"]
+        self._es_cache: Dict[int, list] = {}
         if "ES_ocr" in self.opt:
             self.ocr_name_list = [self.opt["ES_ocr"]] + self.ocr_name_list
             self.es_ocr_len = int(self.opt["ES_ocr_len"])
@@ -90,27 +94,43 @@ class VQADataset:
         sentinel append (`VQA_Dataset.py:295-351`)."""
         assert od_ocr in ("od", "ocr")
         remove_same = "remove_same" in self.opt
+        es_name = self.opt.get("ES_ocr") if "ES_ocr" in self.opt else None
+        word_key = "object" if od_ocr == "od" else "word"
+        score_name = self.score_name
         seen: Dict[str, int] = {}
         res: List[dict] = []
         for name in name_list:
-            items = list(datum.get(name, []))
-            if "ES_ocr" in self.opt and name == self.opt["ES_ocr"]:
-                if self.es_sort_way == "frequency":
-                    items.sort(key=lambda x: x.get("cnt", 0), reverse=True)
-                elif self.es_sort_way == "relevance":
-                    items.sort(key=lambda x: x.get("idx", 0))
-                else:
-                    raise ValueError("es_sort_way is wrong")
-                items = items[: self.es_ocr_len]
+            is_es = es_name is not None and name == es_name
+            if is_es:
+                # ES sort/truncate is deterministic per datum — cache it so
+                # repeated passes (epochs, eval cadence) skip the sort
+                items = self._es_cache.get(id(datum))
+                if items is None:
+                    items = list(datum.get(name, []))
+                    if self.es_sort_way == "frequency":
+                        items.sort(key=lambda x: x.get("cnt", 0), reverse=True)
+                    elif self.es_sort_way == "relevance":
+                        items.sort(key=lambda x: x.get("idx", 0))
+                    else:
+                        raise ValueError("es_sort_way is wrong")
+                    items = items[: self.es_ocr_len]
+                    self._es_cache[id(datum)] = items
+            else:
+                items = datum.get(name, ())
             for item in items:
-                word = item["object"] if od_ocr == "od" else item["word"]
+                word = item[word_key]
                 if len(word["word"]) == 0:
                     continue
                 key = item["original"].lower()
-                entry = dict(item)
-                entry["original"] = key
-                entry["word"] = word
-                if "ES_ocr" in self.opt and name == self.opt["ES_ocr"]:
+                # minimal entry: exactly the keys downstream consumers read
+                # (embedding build, position pack, label build, decode list)
+                entry = {"word": word, "original": key, "pos": item["pos"]}
+                if score_name in item:
+                    entry[score_name] = item[score_name]
+                    other = "ACC" if score_name == "ANLS" else "ANLS"
+                    if other in item:
+                        entry[other] = item[other]
+                if is_es:
                     res.append(entry)
                     continue
                 if remove_same and key in seen:
@@ -132,17 +152,19 @@ class VQADataset:
     def get_item_embedding(self, word: dict, original: str) -> Dict[str, Any]:
         """Per-item id features (`VQA_Dataset.py:355-398`)."""
         res: Dict[str, Any] = {}
-        names = set(self.q_embedding) | set(self.ocr_embedding)
+        names = self._emb_names
+        # id lists are shared by reference: every downstream consumer
+        # (collate packing, label build) reads them without mutating
         if "fasttext" in names:
-            res["fasttext"] = list(word["wordid"])
+            res["fasttext"] = word["wordid"]
         if "phoc" in names:
-            res["phoc"] = list(word["wordid"])
+            res["phoc"] = word["wordid"]
         if "glove" in names:
-            res["glove"] = list(word["wordid"])
+            res["glove"] = word["wordid"]
         if "pos" in names:
-            res["pos"] = list(word["pos_id"])
+            res["pos"] = word["pos_id"]
         if "ent" in names:
-            res["ent"] = list(word["ent_id"])
+            res["ent"] = word["ent_id"]
         if "bert" in self.q_embedding:
             ids, offsets = self.bertify(word["word"])
             res["bert"] = ids
@@ -210,12 +232,12 @@ class VQADataset:
         q: Dict[str, Any] = {}
         names = self.q_embedding
         if "fasttext" in names or True:  # collate always needs word ids
-            q["fasttext"] = list(q_ann["wordid"])
-        q["glove"] = list(q_ann["wordid"])
+            q["fasttext"] = q_ann["wordid"]
+        q["glove"] = q_ann["wordid"]
         if "pos" in names:
-            q["pos"] = list(q_ann["pos_id"])
+            q["pos"] = q_ann["pos_id"]
         if "ent" in names:
-            q["ent"] = list(q_ann["ent_id"])
+            q["ent"] = q_ann["ent_id"]
         if "bert" in names:
             ids, offsets = self.bertify(q_ann["word"])
             q["bert"] = ids

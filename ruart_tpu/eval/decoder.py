@@ -37,21 +37,29 @@ def decode_answer(
     """
     fixed_len = len(fixed_answers) if fixed_answers else 0
     yesno_num = 3 if yesno else 0
-    ids = np.argsort(-prob, kind="stable")
-    idx = int(ids[0])
-    for idx_ in ids:
-        idx = int(idx_)
-        if label_no_answer and idx == prob.shape[0] - 1:
-            break
-        # Skip the <OCR> sentinel candidate. The reference compares the raw
-        # score index against len(ocr_list)-1 (`SDNetTrainer.py:409-410`),
-        # which is only correct when fixed_len == yesno_num == 0 (true for
-        # the shipped conf, so this is bit-identical on the parity path);
-        # with extra heads the offset-correct form below is used.
-        if idx == fixed_len + yesno_num + num_cnt - 1:
-            continue
-        if idx < fixed_len + yesno_num + num_cnt:
-            break
+    bound = fixed_len + yesno_num + num_cnt
+    # fast path: argmax (== first element of the stable descending sort)
+    # is accepted outright unless it is the sentinel / out of bound
+    idx = int(prob.argmax())
+    accepted = (label_no_answer and idx == prob.shape[0] - 1) or (
+        idx != bound - 1 and idx < bound
+    )
+    if not accepted:
+        ids = np.argsort(-prob, kind="stable")
+        for idx_ in ids:
+            idx = int(idx_)
+            if label_no_answer and idx == prob.shape[0] - 1:
+                break
+            # Skip the <OCR> sentinel candidate. The reference compares the
+            # raw score index against len(ocr_list)-1
+            # (`SDNetTrainer.py:409-410`), which is only correct when
+            # fixed_len == yesno_num == 0 (true for the shipped conf, so
+            # this is bit-identical on the parity path); with extra heads
+            # the offset-correct form below is used.
+            if idx == bound - 1:
+                continue
+            if idx < bound:
+                break
 
     if idx < fixed_len:
         answer = fixed_answers[idx]

@@ -34,12 +34,18 @@ def evaluate(
     batch_size: Optional[int] = None,
     fixed_answers: Optional[Sequence[str]] = None,
     device_put: Optional[Callable] = None,
-    num_workers: int = 2,
+    num_workers: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Returns {'loss', 'ANLS', 'ACC', 'res', 'save_res', 'n'} with metrics
     normalized by dataset size (`SDNetTrainer.py:145-147`)."""
     collator = collator or Collator(cfg)
     batch_size = batch_size or cfg.batch_size
+    if num_workers is None:
+        # honor the reference's num_worker conf key (shipped conf: 0).
+        # Measured: a 2-thread item-build pool is 2.4x SLOWER than serial
+        # on a 1-core host (pure-python work just thrashes the GIL); the
+        # prefetch thread already overlaps host work with device compute.
+        num_workers = int(cfg.opt.get("num_worker", 0))
     sampler = VQASampler(len(dataset), batch_size, train=False)
     yesno = "label_yesno" in cfg.opt
     label_no_answer = "label_no_answer" in cfg.opt

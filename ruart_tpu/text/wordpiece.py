@@ -17,7 +17,7 @@ vendored 2018 tokenizer (`Models/Bert/tokenization.py:86-325`):
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Any, Dict, Iterable, List, Sequence, Tuple
 
 
 def _is_whitespace(ch: str) -> bool:
@@ -182,6 +182,13 @@ class WordPieceTokenizer:
         # tokenization is pure so a cache is exact. Bounded to keep a
         # pathological stream from growing without limit.
         self._cache: Dict[str, tuple] = {}
+        # whole-candidate bertify cache: scene-text candidates repeat
+        # massively across samples (batch-global uniqueness is 6-12%,
+        # PROGRESS_NOTES round 2), and bertify is pure — so the full
+        # ([CLS] pieces [SEP] ids, offsets) result is cached per word
+        # tuple and shared as immutable tuples (collate reads rows
+        # without mutating them)
+        self._bertify_cache: Dict[Any, tuple] = {}
         self._cache_cap = 1 << 20
         self.wordpiece = WordpieceTokenizer(vocab)
 
@@ -212,7 +219,12 @@ class WordPieceTokenizer:
         """Tokenize a word list (or raw string) into
         ([CLS] pieces [SEP]) ids plus per-word (start, end) piece spans,
         exactly like `VQA_Dataset.bertify:415-436` (including the
-        ``[1, 1]`` offsets quirk for an empty word list)."""
+        ``[1, 1]`` offsets quirk for an empty word list). Results are
+        cached per input and returned as shared immutable tuples."""
+        key = words if isinstance(words, str) else tuple(words)
+        cached = self._bertify_cache.get(key)
+        if cached is not None:
+            return cached
         pieces = [self.CLS]
         offsets: List[Tuple[int, int]] = []
         if isinstance(words, str):
@@ -225,7 +237,10 @@ class WordPieceTokenizer:
             if len(words) == 0:
                 offsets = [(1, 1)]
         pieces.append(self.SEP)
-        return self.convert_tokens_to_ids(pieces), offsets
+        cached = (tuple(self.convert_tokens_to_ids(pieces)), tuple(offsets))
+        if len(self._bertify_cache) < self._cache_cap:
+            self._bertify_cache[key] = cached
+        return cached
 
 
 def build_demo_vocab(extra_words: Sequence[str] = ()) -> Dict[str, int]:

@@ -135,3 +135,29 @@ def test_engine_warmup_precompiles_all_signatures(shipped_conf_opt):
     assert n >= ladders  # at least the dense program per shape combo
     res = engine.predict(_requests(2))
     assert len(res) == 2
+
+
+def test_engine_warmup_max_programs(shipped_conf_opt):
+    """max_programs truncates the warmup cross product (later signatures
+    compile lazily); the engine still serves correctly afterwards."""
+    engine = _tiny_engine(shipped_conf_opt)
+    n = engine.warmup(max_programs=1)
+    assert n == 1
+    res = engine.predict(_requests(2))
+    assert len(res) == 2
+
+
+def test_engine_warmup_calibrated(shipped_conf_opt):
+    """warmup_calibrated precompiles the signatures a traffic sample
+    produces (plus dense fallbacks) — dedup'd, so replaying the same
+    sample adds nothing, and a subsequent predict on that traffic reuses
+    the compiled programs."""
+    engine = _tiny_engine(shipped_conf_opt)
+    sample = _requests(4)
+    n = engine.warmup_calibrated(sample)
+    # >= 1 observed signature + the all-caps dense panic program
+    assert n >= 2
+    res = engine.predict(sample)
+    assert len(res) == 4
+    for r in res:
+        assert isinstance(r["answer"], str) and r["answer"]

@@ -47,7 +47,7 @@ def test_bertify_word_list_offsets():
     assert ids[0] == vocab["[CLS]"] and ids[-1] == vocab["[SEP]"]
     # empty word list quirk (VQA_Dataset.py:426-427)
     ids2, offsets2 = tok.bertify([])
-    assert offsets2 == [(1, 1)]
+    assert tuple(offsets2) == ((1, 1),)
     assert len(ids2) == 2
 
 
@@ -55,5 +55,5 @@ def test_bertify_raw_string():
     vocab = build_demo_vocab(["what", "is"])
     tok = WordPieceTokenizer(vocab)
     ids, offsets = tok.bertify("What is")
-    assert offsets == []
+    assert tuple(offsets) == ()
     assert len(ids) == 4
