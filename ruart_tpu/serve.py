@@ -286,3 +286,91 @@ class InferenceEngine:
             getattr(trainer, "vocab", trainer.preproc.train_vocab or []),
             trainer.tokenizer, trainer.fixed_answers,
         )
+
+
+class BatchingServer:
+    """Dynamic micro-batching front end over :class:`InferenceEngine`.
+
+    Online callers submit ONE request at a time; the TPU wants full
+    fixed-shape batches. A background worker drains the request queue into
+    batches of up to ``engine.batch_size``, dispatching early after
+    ``max_wait_ms`` so a lone request is never stuck waiting for
+    neighbors — the standard latency/throughput knob of a serving
+    front end (no reference equivalent: `main_test.py` is offline-only).
+
+    ``submit`` returns a ``concurrent.futures.Future`` resolving to the
+    engine's ``{'answer', 'score', 'idx'}`` dict; ``predict_one`` is the
+    blocking convenience wrapper. Thread-safe; call ``close()`` (or use as
+    a context manager) to drain and stop the worker.
+    """
+
+    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 10.0):
+        import queue
+        import threading
+
+        self.engine = engine
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, sample: Dict[str, Any]):
+        from concurrent.futures import Future
+
+        if self._stop.is_set():
+            raise RuntimeError("BatchingServer is closed")
+        fut: Future = Future()
+        self._q.put((sample, fut))
+        return fut
+
+    def predict_one(self, sample: Dict[str, Any], timeout: Optional[float] = None):
+        return self.submit(sample).result(timeout)
+
+    # -- worker ----------------------------------------------------------
+    def _loop(self):
+        import queue
+        import time
+
+        B = self.engine.batch_size
+        while True:
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < B:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            samples = [s for s, _ in batch]
+            try:
+                results = self.engine.predict(samples)
+            except BaseException as e:
+                for _, fut in batch:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                continue
+            for (_, fut), res in zip(batch, results):
+                if not fut.cancelled():
+                    fut.set_result(res)
+
+    # -- lifecycle -------------------------------------------------------
+    def close(self, timeout: float = 30.0):
+        """Stop accepting work, drain in-flight requests, join the worker."""
+        self._stop.set()
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -147,6 +147,38 @@ def test_engine_warmup_max_programs(shipped_conf_opt):
     assert len(res) == 2
 
 
+def test_batching_server(shipped_conf_opt):
+    """Dynamic micro-batcher: per-request submits resolve to the same
+    answers as a direct batched predict; works as a context manager and
+    rejects submits after close."""
+    from ruart_tpu.serve import BatchingServer
+
+    engine = _tiny_engine(shipped_conf_opt)
+    reqs = _requests(3)
+    direct = engine.predict(reqs)
+    with BatchingServer(engine, max_wait_ms=20.0) as server:
+        futs = [server.submit(r) for r in reqs]
+        got = [f.result(timeout=120) for f in futs]
+    assert [g["answer"] for g in got] == [d["answer"] for d in direct]
+    with pytest.raises(RuntimeError):
+        server.submit(reqs[0])
+
+
+def test_batching_server_propagates_errors(shipped_conf_opt):
+    from ruart_tpu.serve import BatchingServer
+
+    engine = _tiny_engine(shipped_conf_opt)
+
+    def boom(samples):
+        raise ValueError("planted failure")
+
+    engine.predict = boom
+    with BatchingServer(engine, max_wait_ms=5.0) as server:
+        fut = server.submit(_requests(1)[0])
+        with pytest.raises(ValueError, match="planted failure"):
+            fut.result(timeout=60)
+
+
 def test_engine_warmup_calibrated(shipped_conf_opt):
     """warmup_calibrated precompiles the signatures a traffic sample
     produces (plus dense fallbacks) — dedup'd, so replaying the same
