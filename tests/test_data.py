@@ -181,3 +181,25 @@ def test_preprocessed_schema_completeness(pipeline_env):
     end = char_vocab.index("<END>")
     assert all(row[0] == sta and row[-1] == end for row in ann["charid"])
     assert len(d["raw_question_offsets"]) == n
+
+
+def test_collate_never_mutates_items(pipeline_env):
+    """The dataset shares id lists BY REFERENCE into items (and the
+    tokenizer shares cached bertify tuples), so the collator and label
+    build must treat item contents as read-only — this pins that
+    contract: a deep snapshot of the items (and the underlying datum
+    annotations) is identical after repeated collation."""
+    import copy
+
+    cfg, pre, vocab, char_vocab, emb, root = pipeline_env
+    data = _load_split(cfg, "train")["data"]
+    tok = WordPieceTokenizer(build_demo_vocab())
+    ds = VQADataset(data, cfg, mode="train", tokenizer=tok)
+    items = [ds[i] for i in range(min(6, len(ds)))]
+    snap_items = copy.deepcopy(items)
+    snap_datum = copy.deepcopy(ds.data[0])
+    coll = Collator(cfg)
+    for _ in range(2):
+        coll(items)
+    assert items == snap_items
+    assert ds.data[0] == snap_datum
