@@ -312,6 +312,9 @@ class BatchingServer:
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._lat_lock = threading.Lock()
+        self._latencies_s: List[float] = []
+        self._batch_sizes: List[int] = []
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -321,8 +324,10 @@ class BatchingServer:
 
         if self._stop.is_set():
             raise RuntimeError("BatchingServer is closed")
+        import time
+
         fut: Future = Future()
-        self._q.put((sample, fut))
+        self._q.put((sample, fut, time.monotonic()))
         return fut
 
     def predict_one(self, sample: Dict[str, Any], timeout: Optional[float] = None):
@@ -351,17 +356,39 @@ class BatchingServer:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            samples = [s for s, _ in batch]
+            samples = [s for s, _, _ in batch]
             try:
                 results = self.engine.predict(samples)
             except BaseException as e:
-                for _, fut in batch:
+                for _, fut, _ in batch:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            for (_, fut), res in zip(batch, results):
+            done = time.monotonic()
+            with self._lat_lock:
+                self._batch_sizes.append(len(batch))
+                self._latencies_s.extend(done - t0 for _, _, t0 in batch)
+            for (_, fut, _), res in zip(batch, results):
                 if not fut.cancelled():
                     fut.set_result(res)
+
+    # -- observability ---------------------------------------------------
+    def stats(self) -> Dict[str, float]:
+        """Request-latency percentiles (submit -> result, seconds) and
+        batch-fill stats since startup. Empty dict before any batch."""
+        with self._lat_lock:
+            lats = np.asarray(self._latencies_s, dtype=np.float64)
+            fills = np.asarray(self._batch_sizes, dtype=np.float64)
+        if lats.size == 0:
+            return {}
+        return {
+            "requests": int(lats.size),
+            "batches": int(fills.size),
+            "latency_p50_ms": float(np.percentile(lats, 50) * 1e3),
+            "latency_p99_ms": float(np.percentile(lats, 99) * 1e3),
+            "latency_max_ms": float(lats.max() * 1e3),
+            "mean_batch_fill": float(fills.mean() / self.engine.batch_size),
+        }
 
     # -- lifecycle -------------------------------------------------------
     def close(self, timeout: float = 30.0):

@@ -261,3 +261,32 @@ def test_dedup_on_mesh_matches_dense_and_single_device(shipped_conf_opt):
         np.testing.assert_allclose(
             mesh_dedup, single_dedup, atol=2e-4, rtol=1e-4
         )
+
+
+def test_collate_id_key_identity_fallback(shipped_conf_opt):
+    """The collator packs each DISTINCT underlying id sequence once
+    (glove/fasttext/phoc usually alias one word-id list); when a caller
+    hands items whose per-key lists are equal-valued but distinct
+    objects, every key must still pack correctly (the identity check
+    falls back to independent fills)."""
+    from tests.test_buckets import _mini_items
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    items = _mini_items(cfg, 2, n_cands=4)
+    aliased = Collator(cfg)(items)
+
+    # break aliasing: fresh list objects per key with DIFFERENT values
+    import copy
+
+    items2 = copy.deepcopy(items)
+    for sample in items2:
+        for it in sample["ocr"]:
+            it["fasttext"] = [v + 1 for v in it["fasttext"]]
+    out2 = Collator(cfg)(items2)
+    np.testing.assert_array_equal(aliased[1]["glove"], out2[1]["glove"])
+    mask = out2[1]["glove"] != 0
+    np.testing.assert_array_equal(
+        out2[1]["fasttext"][mask], aliased[1]["fasttext"][mask] + 1
+    )

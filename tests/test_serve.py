@@ -159,7 +159,11 @@ def test_batching_server(shipped_conf_opt):
     with BatchingServer(engine, max_wait_ms=20.0) as server:
         futs = [server.submit(r) for r in reqs]
         got = [f.result(timeout=120) for f in futs]
+        stats = server.stats()
     assert [g["answer"] for g in got] == [d["answer"] for d in direct]
+    assert stats["requests"] == 3
+    assert stats["latency_p99_ms"] >= stats["latency_p50_ms"] > 0
+    assert 0 < stats["mean_batch_fill"] <= 1
     with pytest.raises(RuntimeError):
         server.submit(reqs[0])
 
