@@ -58,6 +58,13 @@ def evaluate(
     import jax
 
     multiprocess = jax.process_count() > 1
+    if device_put is None:
+        # move H2D into the prefetch thread (device_put releases the GIL)
+        # so the consumer thread only dispatches + decodes; mesh callers
+        # pass their sharded device_put instead
+        from ruart_tpu.data.pipeline import device_put_batch
+
+        device_put = device_put_batch
     it = batch_iterator(dataset, sampler, collator, num_workers=num_workers)
     for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=device_put):
         scores, loss = eval_step(params, q, ocr, od, gt)
