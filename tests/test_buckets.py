@@ -197,3 +197,100 @@ def test_word_bucket_gated_for_bidir_multi2one(shipped_conf_opt):
     coll2 = Collator(Config(opt2))
     assert coll2.ocr_word_buckets == (12,)
     assert len(coll2.q_bert_buckets) > 1
+
+
+def test_collator_matches_naive_reference(shipped_conf_opt):
+    """Property test: the vectorized collator (fromiter walks, identity
+    key-dedup, boolean-mask scatters) must equal a naive per-element loop
+    implementation of the documented packing semantics, on random ragged
+    items — buckets pinned to the caps so shapes are deterministic."""
+    rng = np.random.RandomState(7)
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(
+        bucket_q_bert_len=1, bucket_word_len=1, bert_dedup_frac=0,
+        max_ocr_num=6, max_od_num=4, max_ocr_len=5, max_od_len=5,
+        max_ocr_bert_len=9, max_od_bert_len=9,
+    )
+    cfg = Config(opt)
+    coll = Collator(cfg)
+
+    def rand_cand():
+        w = rng.randint(1, 8)  # may exceed max_*_len -> truncation path
+        ids = rng.randint(5, 40, size=w).tolist()
+        npieces = rng.randint(1, 10)
+        pieces = [2] + rng.randint(5, 40, size=npieces).tolist() + [3]
+        offs, p = [], 1
+        for _ in range(w):
+            ln = rng.randint(0, 3)
+            offs.append((p, p + ln))
+            p += ln
+        return {
+            "glove": ids, "fasttext": ids,
+            "pos": rng.randint(0, 5, size=w).tolist(),
+            "ent": rng.randint(0, 5, size=w).tolist(),
+            "bert": pieces,
+            "bert_offsets": offs,
+            "position": rng.rand(8).tolist(),
+        }
+
+    def rand_item():
+        qw = rng.randint(1, 5)
+        return {
+            "q": {
+                "glove": rng.randint(5, 40, size=qw).tolist(),
+                "fasttext": rng.randint(5, 40, size=qw).tolist(),
+                "pos": rng.randint(0, 5, size=qw).tolist(),
+                "ent": rng.randint(0, 5, size=qw).tolist(),
+                "bert": [2] + rng.randint(5, 40, size=qw).tolist() + [3],
+                "bert_offsets": [(1 + j, 1 + j) for j in range(qw)],
+            },
+            "ocr": [rand_cand() for _ in range(rng.randint(1, 9))],
+            "od": [rand_cand() for _ in range(rng.randint(1, 6))],
+            "gt": None,
+            "extra_info": {},
+        }
+
+    def naive_block(batch_items, max_num, max_len, max_bert_len):
+        B = len(batch_items)
+        out = {
+            "num": np.zeros(B, np.int32),
+            "len": np.zeros((B, max_num), np.int32),
+            "position": np.zeros((B, max_num, 8), np.float32),
+            "bert": np.zeros((B, max_num, max_bert_len), np.int32),
+            "bert_offsets": np.zeros((B, max_num, max_len, 2), np.int32),
+        }
+        for k in ("glove", "fasttext", "pos", "ent"):
+            out[k] = np.zeros((B, max_num, max_len), np.int32)
+        for b, items in enumerate(batch_items):
+            items = list(items)[:max_num]
+            out["num"][b] = len(items)
+            for c, it in enumerate(items):
+                for k in ("glove", "fasttext", "pos", "ent"):
+                    row = it[k][:max_len]
+                    out[k][b, c, : len(row)] = row
+                out["len"][b, c] = min(len(it["glove"]), max_len)
+                out["position"][b, c] = it["position"]
+                bert = it["bert"][:max_bert_len]
+                out["bert"][b, c, : len(bert)] = bert
+                for w, (st, ed) in enumerate(it["bert_offsets"][:max_len]):
+                    st2 = min(st, max_bert_len - 1)
+                    ed2 = max(min(ed, max_bert_len), st2)
+                    out["bert_offsets"][b, c, w] = (st2, ed2)
+        out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+        return out
+
+    for trial in range(5):
+        items = [rand_item() for _ in range(rng.randint(1, 5))]
+        got_q, got_ocr, got_od, got_gt, _ = coll(items)
+        want_ocr = naive_block(
+            [t["ocr"] for t in items], cfg.max_ocr_num, cfg.max_ocr_len,
+            cfg.max_ocr_bert_len,
+        )
+        want_od = naive_block(
+            [t["od"] for t in items], cfg.max_od_num, cfg.max_od_len,
+            cfg.max_od_bert_len,
+        )
+        for want, got in ((want_ocr, got_ocr), (want_od, got_od)):
+            for k, v in want.items():
+                np.testing.assert_array_equal(got[k], v, err_msg=k)
