@@ -51,6 +51,14 @@ def apply_runtime_flags(cfg):
 
     from ruart_tpu.utils.cache import enable_compilation_cache
 
+    # RUART_PLATFORM=cpu forces the backend in-process. The env var exists
+    # because JAX_PLATFORMS alone can be overridden by ambient TPU plugins
+    # that win platform selection regardless of it; an in-process config
+    # update is authoritative. Useful for CPU smoke runs on TPU hosts and
+    # for driving the CLIs when the TPU is unavailable.
+    platform = os.environ.get("RUART_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if "no_compile_cache" not in cfg.opt:
         enable_compilation_cache()
     if "debug_nans" in cfg.opt:

@@ -46,6 +46,18 @@ from ruart_tpu.utils.meters import AverageMeter
 log = logging.getLogger(__name__)
 
 
+def resolve_bert_artifacts(opt: Dict) -> tuple:
+    """(tokenizer_file, model_dir) conf values, honoring the BERT_LARGE
+    redirection to the *_large_* keys (`VQA_Dataset.py:49-58`,
+    `Bert/Bert.py:26-28`). Falls back to the base keys when the large
+    ones are absent so partial confs stay usable."""
+    if "BERT_LARGE" in opt:
+        tok = opt.get("BERT_large_tokenizer_file", opt.get("BERT_tokenizer_file"))
+        mdl = opt.get("BERT_large_model_file", opt.get("BERT_model_file"))
+        return tok, mdl
+    return opt.get("BERT_tokenizer_file"), opt.get("BERT_model_file")
+
+
 class Trainer:
     def __init__(self, cfg: Config, bert_config: Optional[BertConfig] = None):
         self.cfg = cfg
@@ -137,8 +149,10 @@ class Trainer:
     def setup_model(self, embeddings: Dict[str, np.ndarray]):
         cfg = self.cfg
 
-        # tokenizer: real BERT vocab when configured, demo vocab otherwise
-        tok_file = self.opt.get("BERT_tokenizer_file")
+        # tokenizer: real BERT vocab when configured, demo vocab otherwise.
+        # BERT_LARGE redirects both artifact keys; the 1024/24 model dims
+        # come from ModelSpec.from_config -> BertConfig.large_uncased.
+        tok_file, self._bert_dir = resolve_bert_artifacts(self.opt)
         if tok_file:
             tok_path = os.path.join(self.opt["datadir"], str(tok_file))
             if os.path.isfile(tok_path):
@@ -195,7 +209,7 @@ class Trainer:
             phoc=embeddings.get("phoc_embedding"),
         )
         # load pretrained BERT weights when the conf points at them
-        bert_dir = self.opt.get("BERT_model_file")
+        bert_dir = self._bert_dir
         if bert_dir:
             bert_path = os.path.join(self.opt["datadir"], str(bert_dir))
             cfg_json = os.path.join(bert_path, "bert_config.json")
@@ -524,6 +538,10 @@ class Trainer:
             self.state, loss = self.train_step(self.state, q, ocr, od, gt)
             self.updates += 1
             pending.append(loss)
+            if "DEBUG_SDT" in self.opt:
+                # opt-in per-step debug print (`SDNetTrainer.py:361-362`);
+                # the float() here is a deliberate host sync — debug only
+                print(float(loss), [t.get("q_id") for t in extra])
             if batch_i % log_every == 0:
                 loss_val = drain_losses(batch_i)
                 done = batch_i - batch_st + 1

@@ -63,3 +63,40 @@ def test_config_dictlike(shipped_conf_opt):
     assert cfg.q_embedding == ["glove", "pos", "ent", "bert"]
     assert cfg.dropout_p == 0.3
     assert cfg.seed == 1033
+
+
+def test_bert_large_artifact_redirection():
+    """BERT_LARGE selects the *_large_* artifact keys (`Bert.py:26-28`,
+    `VQA_Dataset.py:49-58`), falling back to the base keys when absent."""
+    from ruart_tpu.train.trainer import resolve_bert_artifacts
+
+    base = {
+        "BERT_tokenizer_file": "bert-base/vocab.txt",
+        "BERT_model_file": "bert-base",
+        "BERT_large_tokenizer_file": "bert-large/vocab.txt",
+        "BERT_large_model_file": "bert-large",
+    }
+    assert resolve_bert_artifacts(base) == ("bert-base/vocab.txt", "bert-base")
+    assert resolve_bert_artifacts({**base, "BERT_LARGE": True}) == (
+        "bert-large/vocab.txt",
+        "bert-large",
+    )
+    # partial conf: large flag but only base keys present
+    small = {
+        "BERT_LARGE": True,
+        "BERT_tokenizer_file": "bert-base/vocab.txt",
+        "BERT_model_file": "bert-base",
+    }
+    assert resolve_bert_artifacts(small) == ("bert-base/vocab.txt", "bert-base")
+
+
+def test_bert_large_spec_dims(shipped_conf_opt):
+    """BERT_LARGE flows to the 1024-wide 24-layer config (`SDNet.py:95-101`)."""
+    from ruart_tpu.core.config import Config
+    from ruart_tpu.models.fusion.spec import ModelSpec
+
+    opt = dict(shipped_conf_opt)
+    opt["BERT_LARGE"] = True
+    spec = ModelSpec.from_config(Config(opt))
+    assert spec.bert.hidden_size == 1024
+    assert spec.bert.num_hidden_layers == 24

@@ -79,6 +79,25 @@ def test_predict_for_test_writes_submission(trained):
     assert all(isinstance(r["answer"], str) and r["answer"] for r in res)
 
 
+def test_debug_sdt_prints_per_step(trained, capsys):
+    """`DEBUG_SDT` prints (loss, q_ids) every step (`SDNetTrainer.py:361-362`)."""
+    trainer, cfg, root = trained
+    opt = dict(cfg.opt)
+    opt["RESUME"] = True
+    opt["MODEL_PATH"] = os.path.relpath(
+        os.path.join(trainer.save_folder, "ANLS_best_model.ckpt"), str(root)
+    )
+    opt["batch_st"] = 10  # 2 remaining batches
+    opt["DEBUG_SDT"] = True
+    cfg2 = Config(opt)
+    t2 = Trainer(cfg2, bert_config=BertConfig.tiny(vocab_size=64))
+    t2.train(eval_every=10 ** 6, log_every=10 ** 6)
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if "q_" in l or "[" in l
+    ]
+    assert len(lines) >= 2  # one print per remaining batch
+
+
 def test_resume_from_checkpoint(trained):
     trainer, cfg, root = trained
     opt = dict(cfg.opt)
