@@ -19,6 +19,13 @@ from ruart_tpu.core.config import Config
 
 log = logging.getLogger(__name__)
 
+# every batch key the dedup/packing paths can attach to a candidate block
+# (serve-time dense fallbacks strip exactly this set)
+DEDUP_KEYS = (
+    "bert_unique", "bert_inverse",
+    "bert_packed", "bert_packed_seg", "bert_packed_pos", "bert_unpack",
+)
+
 
 def _parse_buckets(raw, cap: int, floor: int = 1) -> Tuple[int, ...]:
     """Bucket ladder for one shape dimension, largest = the conf cap.
@@ -153,6 +160,20 @@ class Collator:
         # construction; the dense [B, N, Lb] block keeps the conf cap so
         # fusion-stack shapes (and scores) are untouched.
         self.dedup_len_buckets = int(cfg.opt.get("bert_dedup_len_buckets", 2))
+        # sequence packing of the unique table (`bert_pack 1`): candidate
+        # strings average far fewer wordpieces than the padded width, so
+        # several candidates share one encoder row, separated by a
+        # block-diagonal segment mask with per-segment position restart.
+        # EXACT by construction (cross-segment keys get the same -10000
+        # additive bias as pad keys, which underflows to a hard zero in the
+        # fp32 softmax — identical math to the dense row, see
+        # models/bert/model.py). Cuts encoder rows ~2-4x on realistic
+        # batches; the encoder is the device-profile majority.
+        self.pack = bool(int(cfg.opt.get("bert_pack", 0)))
+        self.pack_len = int(cfg.opt.get("bert_pack_len", 32))
+        # packing cuts rows 2-4x on realistic candidate lengths, so the
+        # packed-row ladder must reach well below size/2 (4 halving steps)
+        self.pack_buckets = int(cfg.opt.get("bert_pack_buckets", 4))
         self.dedup_fallbacks = 0
         # length-bucketed compilation (SURVEY §3.5 #5): per-batch shapes pad
         # to the smallest bucket that fits instead of always the conf cap,
@@ -421,9 +442,84 @@ class Collator:
         need_l = int(nz_cols.nonzero()[0][-1]) + 1 if nz_cols.any() else 1
         lsz = _pick_bucket(self.dedup_len_ladder(max_bert_len), need_l)
         unique = unique[:, :lsz]
-        pad = np.zeros((size - unique.shape[0], lsz), dtype=np.int32)
-        out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
+        if self.pack:
+            self._add_pack(out, unique.astype(np.int32), size, lsz)
+        else:
+            pad = np.zeros((size - unique.shape[0], lsz), dtype=np.int32)
+            out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
         out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
+
+    def pack_row_ladder(self, size: int) -> Tuple[int, ...]:
+        """Packed-row counts this collator can emit for a ``size``-row
+        unique bucket, ascending (8-aligned halving steps; largest = size,
+        the no-win upper bound)."""
+        return _halving_ladder(size, self.pack_buckets, align=8, floor=8)
+
+    def _add_pack(self, out: Dict[str, np.ndarray], unique, size, lsz):
+        """Bin-pack the unique rows into shared encoder rows.
+
+        Emits ``bert_packed`` / ``bert_packed_seg`` / ``bert_packed_pos``
+        [R-bucket, Lp] plus ``bert_unpack`` [size, lsz] (flat indices into
+        the packed token grid for each unique row's tokens; pad tokens
+        point at 0, which downstream pooling weights never read).
+
+        Best-fit-decreasing with bins tracked by remaining capacity —
+        O(U * Lp) worst case, vectorized token scatter."""
+        U = unique.shape[0]
+        lens = (unique != 0).sum(axis=1).astype(np.int64)     # [U]
+        Lp = max(self.pack_len, lsz)
+        order = np.argsort(-lens, kind="stable")
+        bin_of = np.zeros(U, np.int64)
+        off_of = np.zeros(U, np.int64)
+        seg_of = np.zeros(U, np.int64)
+        # bins_by_rem[r] = stack of bin ids with r tokens of room left
+        bins_by_rem = [[] for _ in range(Lp + 1)]
+        bin_used: list = []     # tokens used per bin
+        bin_count: list = []    # segments placed per bin
+        for u in order:
+            l = int(lens[u])
+            if l == 0:
+                continue        # empty rows occupy nothing
+            b = -1
+            for r in range(l, Lp + 1):   # best fit: smallest adequate room
+                if bins_by_rem[r]:
+                    b = bins_by_rem[r].pop()
+                    break
+            if b < 0:
+                b = len(bin_used)
+                bin_used.append(0)
+                bin_count.append(0)
+            bin_of[u] = b
+            off_of[u] = bin_used[b]
+            bin_count[b] += 1
+            seg_of[u] = bin_count[b]
+            bin_used[b] += l
+            bins_by_rem[Lp - bin_used[b]].append(b)
+        R = _pick_bucket(self.pack_row_ladder(size), max(1, len(bin_used)))
+        # vectorized token scatter: flat src positions in `unique`, flat
+        # dst positions in the packed grid, per-token local offsets
+        total = int(lens.sum())
+        starts = np.zeros(U, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        row_rep = np.repeat(np.arange(U, dtype=np.int64), lens)
+        delta = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        src = row_rep * lsz + delta
+        dst = bin_of[row_rep] * Lp + off_of[row_rep] + delta
+        packed = np.zeros(R * Lp, np.int32)
+        seg = np.zeros(R * Lp, np.int32)
+        pos = np.zeros(R * Lp, np.int32)
+        unpack = np.zeros(U * lsz, np.int32)
+        packed[dst] = unique.reshape(-1)[src]
+        seg[dst] = seg_of[row_rep]
+        pos[dst] = delta
+        unpack[src] = dst
+        out["bert_packed"] = packed.reshape(R, Lp)
+        out["bert_packed_seg"] = seg.reshape(R, Lp)
+        out["bert_packed_pos"] = pos.reshape(R, Lp)
+        up = unpack.reshape(U, lsz)
+        if U < size:
+            up = np.concatenate([up, np.zeros((size - U, lsz), np.int32)])
+        out["bert_unpack"] = up
 
     # -- question block --------------------------------------------------
     def _collate_q(self, q_list: Sequence[dict]) -> Dict[str, np.ndarray]:

@@ -54,13 +54,22 @@ class BertEmbeddings(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+    def __call__(
+        self, input_ids, token_type_ids=None, deterministic=True,
+        position_ids=None,
+    ):
         c = self.config
         seq_len = input_ids.shape[-1]
         word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
             input_ids
         )
-        pos_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        # explicit position ids support sequence packing (positions restart
+        # at each packed segment); default is the usual arange
+        pos_ids = (
+            position_ids
+            if position_ids is not None
+            else jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        )
         pos = nn.Embed(
             c.max_position_embeddings, c.hidden_size, name="position_embeddings"
         )(pos_ids)
@@ -148,16 +157,19 @@ class BertSelfAttention(nn.Module):
                 sharded_fused_attention,
             )
 
-            bias_rows = bias[:, 0, 0, :]
+            # padding bias [B,1,1,L] passes key rows [B, L]; the packed
+            # segment bias [B,1,L,L] passes the full [B, L, L] (tiny at
+            # these L; the kernel adds it per query row)
+            kernel_bias = bias[:, 0, 0, :] if bias.shape[2] == 1 else bias[:, 0]
             if c.mesh is not None and c.mesh.size > 1:
                 # explicit shard_map partitioning (batch over dp, heads over
                 # tp) — without it GSPMD replicates the Pallas custom call
                 # on every device of the mesh
                 ctx = sharded_fused_attention(
-                    qp, kp, vp, bias_rows, H, c.mesh
+                    qp, kp, vp, kernel_bias, H, c.mesh
                 )
             else:
-                ctx = fused_attention(qp, kp, vp, bias_rows, H)
+                ctx = fused_attention(qp, kp, vp, kernel_bias, H)
             return ctx.astype(dt)
 
         # head-major einsum without explicit [B,H,L,D] transposes: XLA folds
@@ -228,6 +240,8 @@ class BertModel(nn.Module):
         deterministic: bool = True,
         combine_weights=None,
         stop_layer_gradients: bool = False,
+        segment_ids=None,
+        position_ids=None,
     ):
         """Without ``combine_weights``: returns (all_layers [L, B, Lb, D],
         pooled). With ``combine_weights`` [L]: returns (combined [B, Lb, D],
@@ -235,15 +249,33 @@ class BertModel(nn.Module):
         stack is never materialized (12x activation-memory saving vs the
         reference's pool-then-combine, same math). ``stop_layer_gradients``
         cuts gradients into the encoder while leaving the combine weights
-        trainable (LOCK_BERT + BERT_LINEAR_COMBINE semantics)."""
+        trainable (LOCK_BERT + BERT_LINEAR_COMBINE semantics).
+
+        ``segment_ids`` [B, L] (0 = pad, >=1 = packed segment) switches the
+        attention bias from the padding-row form [B,1,1,L] to a
+        block-diagonal [B,1,L,L]: token q attends only keys of its own
+        segment. Cross-segment and pad keys get the same ``ATTN_MASK_BIAS``
+        a pad key gets in the dense layout, which underflows to an exact
+        zero after the max-subtracted fp32 softmax — so a packed segment's
+        outputs equal the same sequence encoded as its own row (sequence
+        packing is exact, not approximate). Pass ``position_ids`` restarting
+        at each segment to complete the equivalence."""
         c = self.config
-        if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
-        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * (
-            ATTN_MASK_BIAS
-        )
+        if segment_ids is not None:
+            valid = segment_ids > 0
+            same = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+                valid[:, None, :]
+            )
+            bias = (1.0 - same.astype(jnp.float32)) * ATTN_MASK_BIAS
+            bias = bias[:, None]                      # [B, 1, L, L]
+        else:
+            if attention_mask is None:
+                attention_mask = jnp.ones_like(input_ids)
+            bias = (
+                1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
+            ) * ATTN_MASK_BIAS
         hidden = BertEmbeddings(c, name="embeddings")(
-            input_ids, token_type_ids, deterministic
+            input_ids, token_type_ids, deterministic, position_ids
         )
         layers = []
         acc = None

@@ -194,27 +194,48 @@ class RUArtModel(nn.Module):
         # candidate dedup (opt-in, see Collator._add_dedup): the encoder
         # output depends only on the piece-id row, so encode unique rows and
         # gather back; per-row offsets still pool each duplicate's own words
+        packed = "bert_packed" in item
         dedup = "bert_unique" in item
-        if dedup:
+        if packed:
+            # sequence-packed unique table (Collator._add_pack): several
+            # candidates share one encoder row behind a block-diagonal
+            # segment mask with per-segment position restart — exact (see
+            # models/bert/model.py segment_ids docs). Rows are packed-short
+            # by construction (<= max_position_embeddings), so no chunking.
+            ids = item["bert_packed"]
+            bert_kwargs = dict(
+                segment_ids=item["bert_packed_seg"],
+                position_ids=item["bert_packed_pos"],
+            )
+            mask = None
+        elif dedup:
             ids = item["bert_unique"]
             mask = (ids != 0).astype(jnp.int32)
+            bert_kwargs = {}
         else:
             ids = item["bert"]
             mask = item["bert_mask"]
+            bert_kwargs = {}
         max_len = s.bert.max_position_embeddings
         spans = [
             (p, min(p + max_len, ids.shape[-1]))
             for p in range(0, ids.shape[-1], max_len)
         ]
+        if packed:
+            assert len(spans) == 1, "packed rows exceed max_position_embeddings"
+
+        def run_bert(a, b, **kw):
+            m = mask[:, a:b] if mask is not None else None
+            return self.Bert(ids[:, a:b], m, deterministic=True,
+                             **bert_kwargs, **kw)[0]
+
         if s.bert_linear_combine:
             # fold softmax(alpha)*gamma into the encoder's in-loop layer
             # accumulation: never materializes the [L, B, Lb, D] stack
             w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
             chunks = [
-                self.Bert(
-                    ids[:, a:b], mask[:, a:b], deterministic=True,
-                    combine_weights=w, stop_layer_gradients=s.lock_bert,
-                )[0]
+                run_bert(a, b, combine_weights=w,
+                         stop_layer_gradients=s.lock_bert)
                 for a, b in spans
             ]
             combined = (
@@ -222,10 +243,7 @@ class RUArtModel(nn.Module):
                 else jnp.concatenate(chunks, axis=1)
             )
         else:
-            chunks = [
-                self.Bert(ids[:, a:b], mask[:, a:b], deterministic=True)[0]
-                for a, b in spans
-            ]
+            chunks = [run_bert(a, b) for a, b in spans]
             all_layers = (
                 chunks[0] if len(chunks) == 1
                 else jnp.concatenate(chunks, axis=2)
@@ -233,7 +251,17 @@ class RUArtModel(nn.Module):
             if s.lock_bert:
                 all_layers = jax.lax.stop_gradient(all_layers)
             combined = all_layers[-1]
-        if dedup:
+        if packed:
+            # scatter packed tokens back to per-candidate local rows:
+            # unpack [cap, Lw] holds each unique row's flat token positions
+            # in the packed grid; compose with the duplicate-expansion
+            # gather in ONE indexed take (pad entries point at token 0 —
+            # finite garbage that pooling weights never read)
+            R, Lp, D = combined.shape
+            flat_tokens = combined.reshape(R * Lp, D)
+            idx = jnp.take(item["bert_unpack"], item["bert_inverse"], axis=0)
+            combined = jnp.take(flat_tokens, idx, axis=0)   # [B*N, Lw, D]
+        elif dedup:
             combined = jnp.take(combined, item["bert_inverse"], axis=0)
         pooled = subword_to_word_pooling(combined, item["bert_offsets"], word_mask)
         if s.bert_linear_combine:
@@ -292,10 +320,14 @@ class RUArtModel(nn.Module):
         word_emb [B, N, L, vocab_dim])."""
         s = self.spec
         B, N, L = item["fasttext" if s.use_fasttext else "glove"].shape[:3]
-        # bert_unique is batch-global [cap, Lb]; everything else flattens
-        # per-candidate to [B*N, ...]
+        # bert_unique / the packed-table tensors are batch-global;
+        # everything else flattens per-candidate to [B*N, ...]
+        GLOBAL = (
+            "bert_unique", "bert_packed", "bert_packed_seg",
+            "bert_packed_pos", "bert_unpack",
+        )
         flat = {
-            k: (v if k == "bert_unique" else _flatten_cand(v))
+            k: (v if k in GLOBAL else _flatten_cand(v))
             for k, v in item.items()
             if k not in ("num",)
         }

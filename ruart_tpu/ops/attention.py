@@ -63,13 +63,18 @@ def _grouped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
     dh = D // heads
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // dh  # [1, D]
 
+    bias2d = len(bias_ref.shape) == 3      # [G, L, L] segment bias
+
     def g_body(g, _):
         # dynamic indexing must go through the refs (pl.ds); dynamic_slice
         # on loaded values is not lowerable on TPU
         qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)   # [L, D]
         kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
         vg = v_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
-        bg = bias_ref[pl.ds(g, 1), :].astype(jnp.float32)      # [1, L]
+        if bias2d:
+            bg = bias_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)  # [L, L]
+        else:
+            bg = bias_ref[pl.ds(g, 1), :].astype(jnp.float32)        # [1, L]
 
         def h_body(h, acc):
             m = (lane == h).astype(jnp.float32)       # [1, D]
@@ -114,18 +119,24 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, group: int,
     assert heads % pack == 0 and D == bundle * n_bundles
     # lane-id within a bundle -> head slot [1, bundle]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, bundle), 1) // dh
+    bias2d = len(bias_ref.shape) == 3      # [G, L, L] segment bias
     static_rows = q_ref.dtype.itemsize < 4
     if static_rows:
         q_all = q_ref[...].astype(jnp.float32)    # [G, L, D]
         k_all = k_ref[...].astype(jnp.float32)
         v_all = v_ref[...].astype(jnp.float32)
-        b_all = bias_ref[...].astype(jnp.float32)  # [G, L]
+        b_all = bias_ref[...].astype(jnp.float32)  # [G, L] | [G, L, L]
         out_rows = []
 
     def g_body(g, _):
         if static_rows:
             qg, kg, vg = q_all[g], k_all[g], v_all[g]          # [L, D]
-            bg = b_all[g][None]                                # [1, L]
+            bg = b_all[g] if bias2d else b_all[g][None]        # [L,L]|[1,L]
+        elif bias2d:
+            qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            vg = v_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
+            bg = bias_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)  # [L, L]
         else:
             qg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
             kg = k_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)
@@ -177,8 +188,9 @@ def grouped_attention(
     interpret: bool = False,
     packed: bool = True,
 ) -> jax.Array:
-    """Fused MHA in model layout: q/k/v [B, L, H*dh], bias_rows [B, L]
-    additive mask. Returns [B, L, H*dh] in q's dtype.
+    """Fused MHA in model layout: q/k/v [B, L, H*dh], bias_rows either a
+    [B, L] additive key mask or a [B, L, L] per-query additive bias (the
+    sequence-packing segment mask). Returns [B, L, H*dh] in q's dtype.
 
     Grid = B/group programs of [group, L, D] tiles; heads unrolled in-kernel
     (``packed=True`` -> 128-lane head bundles, 2x-FLOP masked dots;
@@ -200,14 +212,16 @@ def grouped_attention(
     kernel = _packed_kernel if use_packed else _grouped_kernel
     dot_width = dh * max(1, 128 // dh) if use_packed else D
     blk = pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bias_spec = (
+        pl.BlockSpec((G, L, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        if bias_rows.ndim == 3
+        else pl.BlockSpec((G, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
         functools.partial(kernel, group=G, heads=heads, scale=scale),
         out_shape=jax.ShapeDtypeStruct((Bp, L, D), q.dtype),
         grid=(Bp // G,),
-        in_specs=[
-            blk, blk, blk,
-            pl.BlockSpec((G, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[blk, blk, blk, bias_spec],
         out_specs=blk,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -222,10 +236,10 @@ def grouped_attention(
 def attention_rows_xla(
     q: jax.Array, k: jax.Array, v: jax.Array, bias_rows: jax.Array, heads: int
 ) -> jax.Array:
-    """Model-layout XLA attention: q/k/v [B, L, H*dh], bias_rows [B, L].
-    The einsum formulation the BERT module uses (`modeling.py:233-246`
-    semantics), kept here as the differentiation/CPU reference for
-    :func:`fused_attention`."""
+    """Model-layout XLA attention: q/k/v [B, L, H*dh], bias_rows [B, L]
+    key mask or [B, L, L] per-query bias. The einsum formulation the BERT
+    module uses (`modeling.py:233-246` semantics), kept here as the
+    differentiation/CPU reference for :func:`fused_attention`."""
     B, L, D = q.shape
     dh = D // heads
     qh = q.reshape(B, L, heads, dh)
@@ -234,7 +248,10 @@ def attention_rows_xla(
     s = jnp.einsum(
         "blhd,bmhd->bhlm", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(dh))
-    s = s + bias_rows[:, None, None, :].astype(jnp.float32)
+    if bias_rows.ndim == 3:
+        s = s + bias_rows[:, None].astype(jnp.float32)
+    else:
+        s = s + bias_rows[:, None, None, :].astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     ctx = jnp.einsum(
         "bhlm,bmhd->blhd", p, vh, preferred_element_type=jnp.float32
@@ -335,7 +352,7 @@ def sharded_fused_attention(
     dp_ax = "dp" if dp > 1 else None
     tp_ax = "tp" if tp > 1 else None
     spec3 = P(dp_ax, None, tp_ax)
-    spec2 = P(dp_ax, None)
+    spec2 = P(dp_ax) if bias_rows.ndim == 3 else P(dp_ax, None)
 
     def local(q_, k_, v_, b_):
         return fused_attention(

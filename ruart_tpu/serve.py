@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from ruart_tpu.core.config import Config
-from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.collate import DEDUP_KEYS, Collator
 from ruart_tpu.data.dataset import VQADataset
 from ruart_tpu.data.preprocess import Preprocessor
 from ruart_tpu.eval.decoder import decode_batch
@@ -189,6 +189,16 @@ class InferenceEngine:
         B = self.batch_size
 
         def dedup_opts(max_num: int, bert_len: int):
+            if coll.pack:
+                # packed mode: (rows, lsz, packed-row) triples — the R axis
+                # multiplies the product; max_programs / warmup_calibrated
+                # are the pressure valves
+                return (None,) + tuple(
+                    (rows, lsz, R)
+                    for rows in coll.dedup_sizes(B, max_num)
+                    for lsz in coll.dedup_len_ladder(bert_len)
+                    for R in coll.pack_row_ladder(rows)
+                )
             return (None,) + tuple(
                 (rows, lsz)
                 for rows in coll.dedup_sizes(B, max_num)
@@ -217,12 +227,27 @@ class InferenceEngine:
                     return count
                 ocr_v, od_v = dict(ocr), dict(od)
                 for block, opt_rl in ((ocr_v, opt_ocr), (od_v, opt_od)):
+                    for k in DEDUP_KEYS:
+                        block.pop(k, None)
                     if opt_rl is None:
-                        block.pop("bert_unique", None)
-                        block.pop("bert_inverse", None)
                         continue
-                    size, lsz = opt_rl
+                    size, lsz = opt_rl[:2]
                     Bb, N, Lb = block["bert"].shape
+                    block["bert_inverse"] = np.zeros((Bb, N), np.int32)
+                    if len(opt_rl) == 3:
+                        # packed signature: only shapes matter to the
+                        # compile; one max-width segment per row
+                        R = opt_rl[2]
+                        Lp = max(coll.pack_len, lsz)
+                        seg = np.zeros((R, Lp), np.int32)
+                        pos = np.zeros((R, Lp), np.int32)
+                        seg[:, :lsz] = 1
+                        pos[:, :lsz] = np.arange(lsz)
+                        block["bert_packed"] = seg.copy()  # token id 1
+                        block["bert_packed_seg"] = seg
+                        block["bert_packed_pos"] = pos
+                        block["bert_unpack"] = np.zeros((size, lsz), np.int32)
+                        continue
                     uniq = block["bert"].reshape(Bb * N, Lb)[:size, :lsz]
                     if uniq.shape[0] < size:
                         uniq = np.concatenate([
@@ -230,7 +255,6 @@ class InferenceEngine:
                             np.zeros((size - uniq.shape[0], lsz), np.int32),
                         ])
                     block["bert_unique"] = uniq.astype(np.int32)
-                    block["bert_inverse"] = np.zeros((Bb, N), np.int32)
                 self.eval_step(self.params, q, ocr_v, od_v, None)
                 count += 1
         return count
@@ -248,14 +272,8 @@ class InferenceEngine:
             # the observed signature, plus its dense-fallback variant (a
             # live dedup-cap overflow keeps the batch's other buckets but
             # drops the unique tables)
-            dense_ocr = {
-                k: v for k, v in ocr.items()
-                if k not in ("bert_unique", "bert_inverse")
-            }
-            dense_od = {
-                k: v for k, v in od.items()
-                if k not in ("bert_unique", "bert_inverse")
-            }
+            dense_ocr = {k: v for k, v in ocr.items() if k not in DEDUP_KEYS}
+            dense_od = {k: v for k, v in od.items() if k not in DEDUP_KEYS}
             for qq, oo, dd in ((q, ocr, od), (q, dense_ocr, dense_od)):
                 sig = tuple(
                     (k, v.shape)
@@ -273,8 +291,8 @@ class InferenceEngine:
             self.spec, self.cfg, self.batch_size, seed=0
         )
         for block in (ocr, od):
-            block.pop("bert_unique", None)
-            block.pop("bert_inverse", None)
+            for k in DEDUP_KEYS:
+                block.pop(k, None)
         self.eval_step(self.params, q, ocr, od, None)
         return count + 1
 

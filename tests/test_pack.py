@@ -1,0 +1,203 @@
+"""Sequence packing of the deduped BERT candidate table (`bert_pack 1`).
+
+Packing is EXACT: cross-segment keys carry the same -10000 additive bias a
+pad key carries in the dense layout, which underflows to a hard zero after
+the max-subtracted fp32 softmax, and positions restart per segment — so a
+packed segment's encoder outputs equal the same sequence encoded as its own
+row. These tests pin (a) the collator's packed-grid construction, (b) the
+BertModel segment-mask equivalence, (c) the Pallas kernel's 2D-bias path,
+and (d) full-model forward equality with the dense path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ruart_tpu.core.config import Config
+from ruart_tpu.core.presets import TINY_OVERRIDES
+from ruart_tpu.data.collate import Collator
+from ruart_tpu.data.synthetic import make_synthetic_batch
+from ruart_tpu.models.bert.config import BertConfig
+from ruart_tpu.models.fusion.model import RUArtModel
+from ruart_tpu.models.fusion.spec import ModelSpec
+
+
+def _pack_collator(opt, **kw):
+    return Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 1, **kw}))
+
+
+def test_pack_grid_reconstruction(shipped_conf_opt):
+    """Every unique row's tokens land contiguously in the packed grid with
+    a distinct (row, segment) id, positions restarting at 0."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    coll = _pack_collator(opt, bert_pack_len=16)
+    rng = np.random.RandomState(0)
+    B, N, Lb = 4, 8, 10
+    pool = np.zeros((12, Lb), np.int32)
+    for i in range(12):
+        l = rng.randint(2, Lb + 1)
+        pool[i, :l] = rng.randint(1, 60, size=l)
+    out = {"bert": pool[rng.randint(0, 12, size=(B, N))]}
+    out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_packed" in out and "bert_unique" not in out
+    packed = out["bert_packed"]
+    seg = out["bert_packed_seg"]
+    pos = out["bert_packed_pos"]
+    unpack = out["bert_unpack"]
+    R, Lp = packed.shape
+    assert Lp == 16
+    assert seg.shape == pos.shape == (R, Lp)
+
+    flat_tok = packed.reshape(-1)
+    flat_seg = seg.reshape(-1)
+    flat_pos = pos.reshape(-1)
+    # reconstruct each original (b, n) row through unpack[inverse]
+    inv = out["bert_inverse"]
+    for b in range(B):
+        for n in range(N):
+            orig = out["bert"][b, n]
+            l = int((orig != 0).sum())
+            idx = unpack[inv[b, n]]
+            np.testing.assert_array_equal(flat_tok[idx[:l]], orig[:l])
+            # one segment id per candidate, contiguous positions from 0
+            assert len(set(flat_seg[idx[:l]])) == 1
+            np.testing.assert_array_equal(flat_pos[idx[:l]], np.arange(l))
+    # real tokens sit where seg > 0 and nowhere else
+    assert ((flat_tok != 0) == (flat_seg != 0)).all()
+    # packing actually packed: some row holds more than one segment
+    assert seg.max() >= 2
+
+
+def test_bert_segment_mask_matches_separate_rows():
+    """Two sequences packed into one row encode exactly as two rows."""
+    from ruart_tpu.models.bert.model import BertModel
+
+    cfg = BertConfig.tiny(vocab_size=64, attention_impl="xla")
+    model = BertModel(cfg)
+    rng = np.random.RandomState(1)
+    a = rng.randint(1, 60, size=5).astype(np.int32)
+    b = rng.randint(1, 60, size=7).astype(np.int32)
+    Lp = 16
+    packed = np.zeros((1, Lp), np.int32)
+    seg = np.zeros((1, Lp), np.int32)
+    pos = np.zeros((1, Lp), np.int32)
+    packed[0, :5], packed[0, 5:12] = a, b
+    seg[0, :5], seg[0, 5:12] = 1, 2
+    pos[0, :5], pos[0, 5:12] = np.arange(5), np.arange(7)
+
+    dense_ids = np.zeros((2, Lp), np.int32)
+    dense_ids[0, :5], dense_ids[1, :7] = a, b
+    dense_mask = (dense_ids != 0).astype(np.int32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(dense_ids))
+    dense_layers, _ = model.apply(
+        params, jnp.asarray(dense_ids), jnp.asarray(dense_mask)
+    )
+    packed_layers, _ = model.apply(
+        params, jnp.asarray(packed),
+        segment_ids=jnp.asarray(seg), position_ids=jnp.asarray(pos),
+    )
+    dense_layers = np.asarray(dense_layers)
+    packed_layers = np.asarray(packed_layers)
+    np.testing.assert_allclose(
+        packed_layers[:, 0, :5], dense_layers[:, 0, :5], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        packed_layers[:, 0, 5:12], dense_layers[:, 1, :7], atol=1e-5
+    )
+
+
+def test_kernel_bias2d_matches_xla():
+    """grouped_attention with a [B, L, L] additive bias (interpret mode)
+    equals the einsum reference."""
+    from ruart_tpu.ops.attention import attention_rows_xla, grouped_attention
+
+    rng = np.random.RandomState(2)
+    B, L, H, dh = 6, 16, 4, 8
+    D = H * dh
+    q, k, v = (rng.randn(B, L, D).astype(np.float32) for _ in range(3))
+    seg = rng.randint(0, 3, size=(B, L)).astype(np.int32)  # 0 = pad
+    same = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] > 0)
+    bias2d = ((1.0 - same.astype(np.float32)) * -10000.0).astype(np.float32)
+
+    ref = np.asarray(
+        attention_rows_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias2d), H,
+        )
+    )
+    out = np.asarray(
+        grouped_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias2d), heads=H, group=4, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pack_matches_dense_full_model(shipped_conf_opt):
+    """Full-model forward with the packed table equals the dense path."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+
+    # plant duplication so both dedup and packing are non-trivial
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr[k][:, 1:4] = ocr[k][:, 0:1]
+    ocr["len"][:, 1:4] = ocr["len"][:, 0:1]
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+    dense = np.asarray(model.apply(params, jq, jocr, jod))
+
+    coll = _pack_collator(opt, bert_pack_len=16)
+    B, N, Lb = ocr["bert"].shape
+    out = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_packed" in out
+    ocr_p = dict(ocr)
+    for k in ("bert_packed", "bert_packed_seg", "bert_packed_pos",
+              "bert_unpack", "bert_inverse"):
+        ocr_p[k] = out[k]
+    packed = np.asarray(
+        model.apply(params, jq, jax.tree.map(jnp.asarray, ocr_p), jod)
+    )
+    np.testing.assert_allclose(packed, dense, atol=2e-5)
+
+
+def test_serve_warmup_and_predict_packed(shipped_conf_opt):
+    """With `bert_pack 1` the serving engine warms up packed-table
+    signatures (shapes only) and serves real traffic through the packed
+    collator path."""
+    from tests.test_serve import _requests, _tiny_engine
+
+    engine = _tiny_engine(
+        shipped_conf_opt, extra={"bert_dedup_frac": 1.0, "bert_pack": 1}
+    )
+    assert engine.collator.pack
+    n = engine.warmup(max_programs=6)
+    assert n >= 1
+    res = engine.predict(_requests(3))
+    assert len(res) == 3
+    for r in res:
+        assert isinstance(r["answer"], str) and r["answer"]
+        assert np.isfinite(r["score"])
+    # calibrated warmup's dense fallback strips every packed key
+    assert engine.warmup_calibrated(_requests(2)) >= 2
+
+
+def test_pack_row_ladder(shipped_conf_opt):
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    coll = _pack_collator(opt)
+    assert coll.pack_row_ladder(64) == (8, 16, 32, 64)
+    assert coll.pack_row_ladder(8) == (8,)
+    coll2 = _pack_collator(opt, bert_pack_buckets=2)
+    assert coll2.pack_row_ladder(64) == (32, 64)
