@@ -172,6 +172,59 @@ def test_pack_matches_dense_full_model(shipped_conf_opt):
     np.testing.assert_allclose(packed, dense, atol=2e-5)
 
 
+def test_pack_on_mesh_matches_dense_and_single_device(shipped_conf_opt):
+    """The dp-sharded packed-table path (bert_packed/_seg/_pos [R, Lp] and
+    bert_unpack [cap, Lw] sharded on dim 0, gathered back across shards by
+    GSPMD) must equal both the dense mesh forward and the single-device
+    packed forward — the packing analogue of the dedup-on-mesh test."""
+    from ruart_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt["batch_size"] = 8
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 8, seed=2)
+
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr[k][:, 1:4] = ocr[k][:, 0:1]
+    ocr["len"][:, 1:4] = ocr["len"][:, 0:1]
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+
+    coll = _pack_collator(opt, bert_pack_len=16)
+    B, N, Lb = ocr["bert"].shape
+    dd = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
+    coll._add_dedup(dd, B, N, Lb)
+    assert "bert_packed" in dd
+    ocr_p = dict(ocr)
+    for k in ("bert_packed", "bert_packed_seg", "bert_packed_pos",
+              "bert_unpack", "bert_inverse"):
+        ocr_p[k] = dd[k]
+    jocr_p = jax.tree.map(jnp.asarray, ocr_p)
+
+    fn = jax.jit(
+        lambda p, a, b, c: model.apply(p, a, b, c, deterministic=True)
+    )
+    single_pack = np.asarray(fn(params, jq, jocr_p, jod))
+    single_dense = np.asarray(fn(params, jq, jocr, jod))
+    np.testing.assert_allclose(single_pack, single_dense, atol=2e-5)
+
+    for tp in (1, 2):
+        mesh = make_mesh(tp=tp)
+        for k in ("bert_packed", "bert_unpack"):
+            assert dd[k].shape[0] % mesh.shape["dp"] == 0
+        sp = shard_params(params, mesh)
+        sq, socr_p, sod = shard_batch((jq, jocr_p, jod), mesh)
+        mesh_pack = np.asarray(fn(sp, sq, socr_p, sod))
+        np.testing.assert_allclose(
+            mesh_pack, single_pack, atol=2e-4, rtol=1e-4
+        )
+
+
 def test_serve_warmup_and_predict_packed(shipped_conf_opt):
     """With `bert_pack 1` the serving engine warms up packed-table
     signatures (shapes only) and serves real traffic through the packed
@@ -191,6 +244,72 @@ def test_serve_warmup_and_predict_packed(shipped_conf_opt):
         assert np.isfinite(r["score"])
     # calibrated warmup's dense fallback strips every packed key
     assert engine.warmup_calibrated(_requests(2)) >= 2
+
+
+def test_pack_grads_match_dense(shipped_conf_opt):
+    """Loss and parameter GRADIENTS with the packed table equal the dense
+    path — gradients flow correctly through the packed-grid unpack gather
+    (its transpose is a scatter-add into the shared rows) and into a
+    TRAINABLE encoder (lock_bert off). Gradients, not post-optimizer
+    params: Adamax-style updates normalize by max|grad|, so on the tiny
+    near-zero-grad init they amplify fp reassociation noise (~1e-9) into
+    O(lr) param divergence — measured, not hypothetical."""
+    from ruart_tpu.train.loss import make_loss_fn
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.pop("LOCK_BERT", None)   # key-present semantics: remove to unlock
+    opt.update({"DROPOUT": 0.0, "dropout_emb": 0.0})
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    assert not spec.lock_bert
+    model = RUArtModel(spec)
+    q, ocr_np, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+    q, od = (jax.tree.map(jnp.asarray, t) for t in (q, od))
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr_np[k][:, 1:3] = ocr_np[k][:, 0:1]
+    ocr_np["len"][:, 1:3] = ocr_np["len"][:, 0:1]
+    ocr_np["bert_mask"] = (ocr_np["bert"] != 0).astype(np.int32)
+
+    coll = _pack_collator(dict(shipped_conf_opt), bert_pack_len=16)
+    B, N, Lb = ocr_np["bert"].shape
+    dd = {"bert": ocr_np["bert"], "bert_mask": ocr_np["bert_mask"]}
+    coll._add_dedup(dd, B, N, Lb)
+    assert "bert_packed" in dd
+    ocr_p = dict(ocr_np)
+    for k in ("bert_packed", "bert_packed_seg", "bert_packed_pos",
+              "bert_unpack", "bert_inverse"):
+        ocr_p[k] = dd[k]
+
+    jocr_d = jax.tree.map(jnp.asarray, ocr_np)
+    jocr_p = jax.tree.map(jnp.asarray, ocr_p)
+    params = model.init(jax.random.PRNGKey(0), q, jocr_d, od)
+
+    tgt = np.zeros((2, cfg.max_ocr_num + 1), dtype=np.float32)
+    tgt[:, 1] = 1.0
+    tgt = jnp.asarray(tgt)
+    loss_fn = make_loss_fn("BCE_D1")
+
+    def lossf(p, o):
+        return loss_fn(model.apply(p, q, o, od, deterministic=True), tgt)
+
+    loss_d, g_dense = jax.value_and_grad(lossf)(params, jocr_d)
+    loss_p, g_pack = jax.value_and_grad(lossf)(params, jocr_p)
+    np.testing.assert_allclose(float(loss_p), float(loss_d), atol=1e-5)
+    flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_pack))
+    for path, vd in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path]), np.asarray(vd), atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # the encoder must actually receive gradient (lock_bert off), else
+    # this proved nothing about gradients through the unpack gather
+    assert any(
+        "Bert" in jax.tree_util.keystr(path)
+        and float(jnp.abs(vp).max()) > 0
+        for path, vp in flat_p.items()
+    ), "no gradient reached the encoder — lock_bert still on?"
 
 
 def test_pack_row_ladder(shipped_conf_opt):
