@@ -312,6 +312,63 @@ def test_pack_grads_match_dense(shipped_conf_opt):
     ), "no gradient reached the encoder — lock_bert still on?"
 
 
+def test_pack_e2e_train_eval_predict(tmp_path, shipped_conf_opt):
+    """Full trainer slice with packing forced on (bert_dedup_frac 1 +
+    bert_pack 1): train steps produce finite losses, eval runs, and
+    predict writes a complete submission — the packed collator path
+    through the real Trainer/evaluator, not hand-built batches."""
+    import json
+    import os
+
+    import msgpack
+
+    from ruart_tpu.data.synthetic import make_synthetic_raw_dataset
+    from ruart_tpu.train.trainer import Trainer
+
+    for label, n, seed in (("train", 8, 0), ("val", 4, 1), ("test", 6, 2)):
+        raw = make_synthetic_raw_dataset(
+            n, seed=seed, with_answers=label != "test"
+        )
+        with open(tmp_path / f"{label}.msgpack", "wb") as f:
+            msgpack.pack(raw, f)
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update({
+        "Task": "train,val,test",
+        "datadir": str(tmp_path),
+        "FEATURE_FOLDER": str(tmp_path / "features"),
+        "train_FILE": "train.msgpack",
+        "val_FILE": "val.msgpack",
+        "test_FILE": "test.msgpack",
+        "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+        "preprocess_od_name": "OD_bottom-up",
+        "batch_size": 4,
+        "epoch": 1,
+        "bert_dedup_frac": 1.0,
+        "bert_pack": 1,
+        "bert_pack_len": 16,
+    })
+    cfg = Config(opt)
+    trainer = Trainer(cfg, bert_config=BertConfig.tiny(vocab_size=64))
+    trainer.train(eval_every=100, log_every=2)
+    assert trainer.collator.pack  # setup_model built the packed collator
+    assert trainer.updates >= 2
+
+    opt2 = dict(cfg.opt)
+    opt2["RESUME"] = True
+    opt2["MODEL_PATH"] = os.path.relpath(
+        os.path.join(trainer.save_folder, "ANLS_best_model.ckpt"),
+        str(tmp_path),
+    )
+    t2 = Trainer(Config(opt2), bert_config=BertConfig.tiny(vocab_size=64))
+    t2.predict_for_test()
+    sub = json.load(open(os.path.join(t2.save_folder, "submission.json")))
+    assert len(sub) == 6
+    for r in sub:
+        assert isinstance(r["answer"], str)
+
+
 def test_pack_row_ladder(shipped_conf_opt):
     opt = dict(shipped_conf_opt)
     opt.update(TINY_OVERRIDES)
