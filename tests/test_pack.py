@@ -244,6 +244,10 @@ def test_serve_warmup_and_predict_packed(shipped_conf_opt):
         assert np.isfinite(r["score"])
     # calibrated warmup's dense fallback strips every packed key
     assert engine.warmup_calibrated(_requests(2)) >= 2
+    # int8 weight-only encoder composes with packing
+    engine.quantize()
+    res = engine.predict(_requests(2))
+    assert len(res) == 2 and all(np.isfinite(r["score"]) for r in res)
 
 
 def test_pack_grads_match_dense(shipped_conf_opt):
