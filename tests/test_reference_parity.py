@@ -315,6 +315,42 @@ def test_decode_parity_vs_reference_predict(ref, shipped_pair):
     assert abs(acc_sum - ref_acc) < 1e-6
 
 
+def test_forward_parity_packed_tables(shipped_pair):
+    """Sequence packing (`bert_pack 1`) keeps logit parity with the ACTUAL
+    torch reference: attach packed OCR/OD candidate tables to the same
+    batch and compare against the reference forward directly (not merely
+    against our own dense path)."""
+    import jax.numpy as jnp
+
+    from ruart_tpu.core.config import Config
+    from ruart_tpu.data.collate import Collator
+
+    ref_scores, _ = _forward_both(shipped_pair)
+    coll = Collator(Config({
+        **shipped_pair.cfg.opt, "bert_dedup_frac": 1.0, "bert_pack": 1,
+        "bert_pack_len": 16,
+    }))
+    packed_in = {}
+    for name, block in (("ocr", shipped_pair.ocr), ("od", shipped_pair.od)):
+        B, N, Lb = block["bert"].shape
+        dd = {"bert": block["bert"],
+              "bert_mask": (block["bert"] != 0).astype(np.int32)}
+        coll._add_dedup(dd, B, N, Lb)
+        assert "bert_packed" in dd
+        v = dict(block)
+        for k in ("bert_packed", "bert_packed_seg", "bert_packed_pos",
+                  "bert_unpack", "bert_inverse"):
+            v[k] = dd[k]
+        packed_in[name] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+    ours = np.asarray(
+        shipped_pair.model.apply(
+            shipped_pair.params, shipped_pair.jq,
+            packed_in["ocr"], packed_in["od"], deterministic=True,
+        )
+    )
+    _assert_close(ref_scores, ours)
+
+
 def test_forward_parity_es_post_process(ref):
     """ES post_process variant: the `SDNet.py:292-324` split + mask quirk
     (first cnt-es_len bits kept when cnt >= es_len, untouched otherwise) and
