@@ -68,7 +68,8 @@ def _add_realistic_duplication(block, unique_frac: float, seed: int):
     block["bert_mask"] = (block["bert"] != 0).astype(np.int32)
 
 
-def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True):
+def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
+                   pack: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +81,8 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True):
     from ruart_tpu.models.fusion.spec import ModelSpec
 
     cfg = stvqa_config(vocab_size=5000, batch_size=batch_size)
+    if pack:
+        cfg.opt["bert_pack"] = 1
     spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
     model = RUArtModel(spec)
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
@@ -146,7 +149,7 @@ def build_corpus(cfg, n: int, seed: int = 0, with_answers: bool = False):
 
 
 def build_corpus_model(batch_size: int, dtype: str, n: int, seed: int = 0,
-                       with_answers: bool = False):
+                       with_answers: bool = False, pack: bool = False):
     """(cfg, dataset, collator, model, params) driven by REAL pipeline
     items (not make_synthetic_batch tensors)."""
     import tempfile
@@ -165,6 +168,8 @@ def build_corpus_model(batch_size: int, dtype: str, n: int, seed: int = 0,
         preprocess_ocr_name="ocr_PMTD_ASTER,ES_ocr",
         preprocess_od_name="OD_bottom-up",
     )
+    if pack:
+        cfg.opt["bert_pack"] = 1
     root = tempfile.mkdtemp()
     cfg.opt["datadir"] = root
     cfg.opt["FEATURE_FOLDER"] = root + "/features"
@@ -222,22 +227,40 @@ from ruart_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import json
 from bench import build_flagship, measure
-fn, params, batch = build_flagship(batch_size={bs}, dtype={dt!r})
-qps = measure(fn, params, batch, iters=8, warmup=2)
-out = {{"qps": qps}}
+
+def run(pack):
+    fn, params, batch = build_flagship(
+        batch_size={bs}, dtype={dt!r}, pack=pack)
+    qps = measure(fn, params, batch, iters=8, warmup=2)
+    tflops = None
+    try:
+        q, ocr, od = batch
+        # fn is already jitted: lowering it again hits the in-process trace
+        # cache and the persistent compile cache (a fresh jit wrapper would
+        # recompile the whole program just for the cost model)
+        ca = fn.lower(params, q, ocr, od).compile().cost_analysis()
+        flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
+        if flops > 0:
+            tflops = flops / ({bs} / qps) / 1e12
+    except Exception as e:
+        print("# cost_analysis failed:", e, file=sys.stderr)
+    return qps, tflops
+
+out = {{}}
+out["qps_dense"], tflops_dense = run(False)
 try:
-    import jax
-    q, ocr, od = batch
-    # fn is already jitted: lowering it again hits the in-process trace
-    # cache and the persistent compile cache (a fresh jit wrapper would
-    # recompile the whole program just for the cost model)
-    ca = fn.lower(params, q, ocr, od).compile().cost_analysis()
-    flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
-    if flops > 0:
-        step_s = {bs} / qps
-        out["tflops"] = flops / step_s / 1e12
+    # A/B sequence packing (bert_pack); use it downstream only if it
+    # compiles, runs, and wins on this chip
+    out["qps_packed"], tflops_packed = run(True)
 except Exception as e:
-    print("# cost_analysis failed:", e, file=sys.stderr)
+    print("# packed variant failed:", e, file=sys.stderr)
+    out["qps_packed"], tflops_packed = None, None
+pack_wins = bool(out["qps_packed"] and out["qps_packed"] > out["qps_dense"])
+out["pack"] = pack_wins
+out["qps"] = out["qps_packed"] if pack_wins else out["qps_dense"]
+tf = tflops_packed if pack_wins else tflops_dense
+if tf:
+    out["tflops"] = tf
 print("RESULT=" + json.dumps(out))
 """
 
@@ -252,7 +275,7 @@ from ruart_tpu.train.train_step import make_eval_step
 
 N = {n}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
-    {bs}, {dt!r}, N)
+    {bs}, {dt!r}, N, pack={pack})
 step = make_eval_step(model)
 evaluate(step, params, ds, cfg, coll)   # compile + cache warm
 t0 = time.perf_counter()
@@ -273,7 +296,7 @@ from ruart_tpu.serve import InferenceEngine
 
 N = {n}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
-    {bs}, {dt!r}, {bs})
+    {bs}, {dt!r}, {bs}, pack={pack})
 engine = InferenceEngine(cfg, spec, params, pre.train_vocab, tok)
 raw = make_synthetic_raw_dataset(N, seed=3, n_ocr_range=(15, 30), n_es=40,
                                  with_answers=False)["data"]
@@ -305,7 +328,7 @@ from ruart_tpu.train.train_step import init_train_state, make_train_step
 
 BS = {bs}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
-    BS, {dt!r}, max(BS, 64), with_answers=True)
+    BS, {dt!r}, max(BS, 64), with_answers=True, pack={pack})
 tx = make_optimizer("#", 1e-3, 10.0, params, spec, True)
 step = make_train_step(model, tx, make_loss_fn("BCE_D1"),
                        make_row_pinner(params, spec, 1000))
@@ -356,22 +379,34 @@ def main():
     device = _run_mode(DEVICE_SNIPPET, bs=256, dt="bfloat16") or _run_mode(
         DEVICE_SNIPPET, bs=64, dt="bfloat16"
     )
+    pack = 0
     if device:
+        pack = int(device.get("pack", False))
         out["device_qps"] = round(device["qps"], 3)
+        if device.get("qps_packed"):
+            out["device_qps_packed"] = round(device["qps_packed"], 3)
+            out["device_qps_dense"] = round(device["qps_dense"], 3)
+        out["pack"] = pack
         if "tflops" in device:
             out["tflops"] = round(device["tflops"], 2)
             out["mfu_vs_roofline"] = round(device["tflops"] / ROOFLINE_TFLOPS, 4)
             out["mfu_vs_peak"] = round(device["tflops"] / PEAK_TFLOPS, 4)
 
-    e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024)
+    e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=pack)
+    if e2e is None and pack:
+        e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=0)
     if e2e:
         out["e2e_qps"] = round(e2e["qps"], 3)
 
-    serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024)
+    serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=pack)
+    if serve is None and pack:
+        serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=0)
     if serve:
         out["serve_qps"] = round(serve["qps"], 3)
 
-    train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16")
+    train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16", pack=pack)
+    if train is None and pack:
+        train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16", pack=0)
     if train:
         out["train_step_ms"] = round(train["step_ms"], 2)
         out["train_qps"] = round(train["qps"], 3)
