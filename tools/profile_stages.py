@@ -34,26 +34,28 @@ def fence_timeit(f, *a, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def main(batch_size: int = 64):
+def main(batch_size: int = 64, pack: bool = False):
     from bench import build_flagship
     from ruart_tpu.models.bert.config import BertConfig
     from ruart_tpu.models.bert.model import BertModel
 
-    fn, params, batch = build_flagship(batch_size, dtype="bfloat16")
+    fn, params, batch = build_flagship(batch_size, dtype="bfloat16", pack=pack)
     q, ocr, od = batch
     t_full = fence_timeit(lambda: fn(params, q, ocr, od))
-    print(f"full forward b{batch_size}: {t_full*1e3:.1f} ms "
+    print(f"full forward b{batch_size} pack={int(pack)}: {t_full*1e3:.1f} ms "
           f"-> {batch_size/t_full:.1f} q/s")
 
-    # the three encoder calls at their actual (deduped) shapes
+    # the three encoder calls at their actual (deduped/packed) shapes
     shapes = []
     for name, block, L in (("ocr", ocr, None), ("od", od, None)):
-        rows = (
-            block["bert_unique"].shape[0]
-            if "bert_unique" in block
-            else block["bert"].shape[0] * block["bert"].shape[1]
-        )
-        shapes.append((f"BERT {name}-rows", rows, block["bert"].shape[-1]))
+        if "bert_packed" in block:
+            rows, width = block["bert_packed"].shape
+        elif "bert_unique" in block:
+            rows, width = block["bert_unique"].shape
+        else:
+            rows = block["bert"].shape[0] * block["bert"].shape[1]
+            width = block["bert"].shape[-1]
+        shapes.append((f"BERT {name}-rows", rows, width))
     shapes.append(("BERT q", q["bert"].shape[0], q["bert"].shape[1]))
 
     cfg = BertConfig(vocab_size=5000, dtype="bfloat16")
@@ -61,11 +63,31 @@ def main(batch_size: int = 64):
     ids0 = jnp.ones((8, 16), jnp.int32)
     bparams = bert.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))
     bf = jax.jit(lambda p, ids, m: bert.apply(p, ids, m))
+    bf_seg = jax.jit(
+        lambda p, ids, seg, pos: bert.apply(
+            p, ids, segment_ids=seg, position_ids=pos
+        )
+    )
     for name, B, L in shapes:
         ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 1, 5000)
-        t = fence_timeit(bf, bparams, ids, jnp.ones_like(ids))
+        if pack and "q" not in name:
+            # time the real packed program: block-diagonal segment bias +
+            # restarting positions (~13-piece segments, the realistic mean)
+            seg_len = 13
+            pos = jnp.tile(
+                jnp.arange(L, dtype=jnp.int32) % seg_len, (B, 1)
+            )
+            seg = jnp.tile(
+                jnp.arange(L, dtype=jnp.int32) // seg_len + 1, (B, 1)
+            )
+            t = fence_timeit(bf_seg, bparams, ids, seg, pos)
+        else:
+            t = fence_timeit(bf, bparams, ids, jnp.ones_like(ids))
         print(f"{name} [{B},{L}]: {t*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 64,
+        pack=bool(int(sys.argv[2])) if len(sys.argv) > 2 else False,
+    )
