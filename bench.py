@@ -353,16 +353,47 @@ print("RESULT=" + json.dumps(
 """
 
 
-def _run_mode(snippet: str, timeout: int = 2400, **fmt):
-    proc = subprocess.run(
-        [sys.executable, "-c", snippet.format(repo=REPO, **fmt)],
-        capture_output=True, text=True, timeout=timeout,
-    )
+CPU_PREAMBLE = (
+    'import jax; jax.config.update("jax_platforms", "cpu")\n'
+)
+
+
+def _run_mode(snippet: str, timeout: int = 2400, cpu: bool = False, **fmt):
+    code = snippet.format(repo=REPO, **fmt)
+    if cpu:
+        code = CPU_PREAMBLE + code
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print("# bench mode timed out", file=sys.stderr)
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT="):
             return json.loads(line.split("=", 1)[1])
     print(f"# bench mode failed:\n{proc.stderr[-800:]}", file=sys.stderr)
     return None
+
+
+def _probe_accelerator(timeout: int = 240) -> bool:
+    """True when a non-CPU JAX backend answers within ``timeout`` seconds.
+    The axon TPU tunnel can go down for an hour+ mid-session, and then
+    ``jax.devices()`` HANGS rather than erroring — every bench subprocess
+    would burn its full timeout. Probe once, cheaply, in a subprocess."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLAT=' + jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    for line in proc.stdout.splitlines():
+        if line.startswith("PLAT="):
+            return line.split("=", 1)[1] != "cpu"
+    return False
 
 
 # Self-measured GEMM roofline of this chip (8192^3 bf16, round 1) and the
@@ -376,9 +407,26 @@ def main():
     sys.path.insert(0, REPO)
     out = {"metric": "questions_per_sec", "unit": "q/s"}
 
-    device = _run_mode(DEVICE_SNIPPET, bs=256, dt="bfloat16") or _run_mode(
-        DEVICE_SNIPPET, bs=64, dt="bfloat16"
-    )
+    # the axon tunnel can be down for an hour+: probe cheaply, wait a
+    # little, then fall back to an honest (labeled) CPU measurement at
+    # reduced shapes rather than hang every mode to its timeout
+    cpu = False
+    for attempt in range(4):
+        if _probe_accelerator():
+            break
+        print(f"# accelerator probe {attempt + 1}/4 failed", file=sys.stderr)
+        if attempt < 3:
+            time.sleep(300)
+    else:
+        cpu = True
+        out["platform"] = "cpu_fallback"
+        print("# accelerator unreachable: CPU fallback numbers",
+              file=sys.stderr)
+    bs, n, train_bs = (16, 64, 4) if cpu else (256, 1024, 16)
+
+    device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", cpu=cpu)
+    if device is None and not cpu:
+        device = _run_mode(DEVICE_SNIPPET, bs=64, dt="bfloat16")
     pack = 0
     if device:
         pack = int(device.get("pack", False))
@@ -387,26 +435,31 @@ def main():
             out["device_qps_packed"] = round(device["qps_packed"], 3)
             out["device_qps_dense"] = round(device["qps_dense"], 3)
         out["pack"] = pack
-        if "tflops" in device:
+        if "tflops" in device and not cpu:
             out["tflops"] = round(device["tflops"], 2)
             out["mfu_vs_roofline"] = round(device["tflops"] / ROOFLINE_TFLOPS, 4)
             out["mfu_vs_peak"] = round(device["tflops"] / PEAK_TFLOPS, 4)
 
-    e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=pack)
+    e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack, cpu=cpu)
     if e2e is None and pack:
-        e2e = _run_mode(E2E_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=0)
+        e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
+                        cpu=cpu)
     if e2e:
         out["e2e_qps"] = round(e2e["qps"], 3)
 
-    serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=pack)
+    serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack,
+                      cpu=cpu)
     if serve is None and pack:
-        serve = _run_mode(SERVE_SNIPPET, bs=256, dt="bfloat16", n=1024, pack=0)
+        serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
+                          cpu=cpu)
     if serve:
         out["serve_qps"] = round(serve["qps"], 3)
 
-    train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16", pack=pack)
+    train = _run_mode(TRAIN_SNIPPET, bs=train_bs, dt="bfloat16", pack=pack,
+                      cpu=cpu)
     if train is None and pack:
-        train = _run_mode(TRAIN_SNIPPET, bs=16, dt="bfloat16", pack=0)
+        train = _run_mode(TRAIN_SNIPPET, bs=train_bs, dt="bfloat16", pack=0,
+                          cpu=cpu)
     if train:
         out["train_step_ms"] = round(train["step_ms"], 2)
         out["train_qps"] = round(train["qps"], 3)
