@@ -27,14 +27,75 @@ def _pack_collator(opt, **kw):
     return Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 1, **kw}))
 
 
+def _check_pack_grid(out, B, N, require_sharing=True):
+    """Brute-force invariants of a packed grid: every row's tokens land
+    contiguously with a distinct (row, segment) id, positions restart at
+    0, and real tokens exist exactly where seg > 0."""
+    packed = out["bert_packed"]
+    seg = out["bert_packed_seg"]
+    pos = out["bert_packed_pos"]
+    unpack = out["bert_unpack"]
+    R, Lp = packed.shape
+    assert seg.shape == pos.shape == (R, Lp)
+
+    flat_tok = packed.reshape(-1)
+    flat_seg = seg.reshape(-1)
+    flat_pos = pos.reshape(-1)
+    inv = out["bert_inverse"]
+    seen = set()
+    for b in range(B):
+        for n in range(N):
+            orig = out["bert"][b, n]
+            l = int((orig != 0).sum())
+            idx = unpack[inv[b, n]]
+            np.testing.assert_array_equal(flat_tok[idx[:l]], orig[:l])
+            if l:
+                # one segment id per candidate, contiguous from position 0
+                segids = set(flat_seg[idx[:l]])
+                assert len(segids) == 1 and 0 not in segids
+                np.testing.assert_array_equal(flat_pos[idx[:l]], np.arange(l))
+                seen.add((idx[0] // Lp, segids.pop()))
+    assert ((flat_tok != 0) == (flat_seg != 0)).all()
+    # no two distinct unique rows may share a (bin, segment) id: count
+    # grid segments == count distinct (bin, seg) reached through unpack
+    grid_segs = {
+        (r, s)
+        for r in range(R)
+        for s in set(seg[r][seg[r] > 0].tolist())
+    }
+    assert seen == grid_segs
+    if require_sharing:
+        assert seg.max() >= 2  # packing actually packed
+
+
 def test_pack_grid_reconstruction(shipped_conf_opt):
     """Every unique row's tokens land contiguously in the packed grid with
-    a distinct (row, segment) id, positions restarting at 0."""
+    a distinct (row, segment) id, positions restarting at 0 — fuzzed over
+    seeds, pool sizes, and pack widths."""
     opt = dict(shipped_conf_opt)
     opt.update(TINY_OVERRIDES)
-    coll = _pack_collator(opt, bert_pack_len=16)
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        Lb = int(rng.randint(4, 16))
+        pack_len = int(rng.choice([8, 16, 32]))
+        B, N = int(rng.randint(2, 6)), int(rng.randint(4, 12))
+        n_pool = int(rng.randint(3, 20))
+        coll = _pack_collator(opt, bert_pack_len=pack_len)
+        pool = np.zeros((n_pool, Lb), np.int32)
+        for i in range(n_pool):
+            l = rng.randint(0, Lb + 1)   # include empty rows
+            pool[i, :l] = rng.randint(1, 60, size=l)
+        out = {"bert": pool[rng.randint(0, n_pool, size=(B, N))]}
+        out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+        coll._add_dedup(out, B, N, Lb)
+        assert "bert_packed" in out and "bert_unique" not in out
+        assert out["bert_packed"].shape[1] >= pack_len
+        _check_pack_grid(out, B, N, require_sharing=seed == 0 and False)
+    # the deterministic case from round-3 development keeps the sharing
+    # assertion (rows really do co-habit)
     rng = np.random.RandomState(0)
     B, N, Lb = 4, 8, 10
+    coll = _pack_collator(opt, bert_pack_len=16)
     pool = np.zeros((12, Lb), np.int32)
     for i in range(12):
         l = rng.randint(2, Lb + 1)
@@ -42,33 +103,8 @@ def test_pack_grid_reconstruction(shipped_conf_opt):
     out = {"bert": pool[rng.randint(0, 12, size=(B, N))]}
     out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
     coll._add_dedup(out, B, N, Lb)
-    assert "bert_packed" in out and "bert_unique" not in out
-    packed = out["bert_packed"]
-    seg = out["bert_packed_seg"]
-    pos = out["bert_packed_pos"]
-    unpack = out["bert_unpack"]
-    R, Lp = packed.shape
-    assert Lp == 16
-    assert seg.shape == pos.shape == (R, Lp)
-
-    flat_tok = packed.reshape(-1)
-    flat_seg = seg.reshape(-1)
-    flat_pos = pos.reshape(-1)
-    # reconstruct each original (b, n) row through unpack[inverse]
-    inv = out["bert_inverse"]
-    for b in range(B):
-        for n in range(N):
-            orig = out["bert"][b, n]
-            l = int((orig != 0).sum())
-            idx = unpack[inv[b, n]]
-            np.testing.assert_array_equal(flat_tok[idx[:l]], orig[:l])
-            # one segment id per candidate, contiguous positions from 0
-            assert len(set(flat_seg[idx[:l]])) == 1
-            np.testing.assert_array_equal(flat_pos[idx[:l]], np.arange(l))
-    # real tokens sit where seg > 0 and nowhere else
-    assert ((flat_tok != 0) == (flat_seg != 0)).all()
-    # packing actually packed: some row holds more than one segment
-    assert seg.max() >= 2
+    assert out["bert_packed"].shape[1] == 16
+    _check_pack_grid(out, B, N, require_sharing=True)
 
 
 def test_bert_segment_mask_matches_separate_rows():
