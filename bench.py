@@ -273,6 +273,8 @@ from bench import build_corpus_model
 from ruart_tpu.eval.evaluator import evaluate
 from ruart_tpu.train.train_step import make_eval_step
 
+from ruart_tpu.utils.gctune import tune_gc
+tune_gc()
 N = {n}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
     {bs}, {dt!r}, N, pack={pack})
@@ -326,6 +328,8 @@ from ruart_tpu.train.loss import make_loss_fn
 from ruart_tpu.train.optim import make_optimizer, make_row_pinner
 from ruart_tpu.train.train_step import init_train_state, make_train_step
 
+from ruart_tpu.utils.gctune import tune_gc
+tune_gc()
 BS = {bs}
 cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
     BS, {dt!r}, max(BS, 64), with_answers=True, pack={pack})

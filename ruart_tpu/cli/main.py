@@ -50,6 +50,9 @@ def apply_runtime_flags(cfg):
     import jax
 
     from ruart_tpu.utils.cache import enable_compilation_cache
+    from ruart_tpu.utils.gctune import tune_gc
+
+    tune_gc(cfg.opt)
 
     # RUART_PLATFORM=cpu forces the backend in-process. The env var exists
     # because JAX_PLATFORMS alone can be overridden by ambient TPU plugins

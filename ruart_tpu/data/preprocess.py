@@ -28,7 +28,7 @@ import hashlib
 import logging
 import os
 from collections import Counter
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import msgpack
 import numpy as np
@@ -272,6 +272,10 @@ class Preprocessor:
         self.dataset_labels = labels
         self.train_vocab: Optional[List[str]] = None
         self.train_char_vocab: Optional[List[str]] = None
+        # None = full reference schema in gram candidates; a key tuple
+        # restricts the synthesized window word-dicts (serving sets this —
+        # the runtime dataset reads only word/wordid/pos_id/ent_id[/charid])
+        self.gram_word_keys: Optional[Tuple[str, ...]] = None
 
     # -- public API ------------------------------------------------------
     def ensure_preprocessed(self):
@@ -540,23 +544,32 @@ class Preprocessor:
                 src = d[src_name]
                 n = self.n_gram
                 cands = []
+                # serving featurization may restrict the window word-dicts
+                # to the keys the runtime dataset actually reads (the
+                # offline msgpack keeps the full reference schema)
+                gram_keys = self.gram_word_keys
                 for i in range(len(src)):
                     if i + n > len(src):
                         break
                     text = " ".join(t["original"] for t in src[i : i + n]).lower()
+                    words = [src[j]["word"] for j in range(i, i + n)]
+                    pos = list(src[i]["pos"])
+                    for j in range(i + 1, i + n):
+                        pos = merge_quads(pos, src[j]["pos"])
+                    # one allocation per key: `+` yields a fresh list and
+                    # the elements (strs/ints/char-id rows) are never
+                    # mutated in place downstream; list(v) covers n == 1
                     word: Dict[str, list] = {}
-                    pos = None
-                    for j in range(i, i + n):
-                        pos = (
-                            list(src[j]["pos"])
-                            if pos is None
-                            else merge_quads(pos, src[j]["pos"])
-                        )
-                        for k, v in src[j]["word"].items():
-                            # concatenation allocates a fresh list; the
-                            # elements (strs/ints/char-id rows) are never
-                            # mutated in place downstream
-                            word[k] = word.get(k, []) + list(v)
+                    for k, v in words[0].items():
+                        if gram_keys is not None and k not in gram_keys:
+                            continue
+                        if n == 1:
+                            word[k] = list(v)
+                        else:
+                            acc = v
+                            for w in words[1:]:
+                                acc = acc + w[k]
+                            word[k] = acc
                     cands.append(
                         {"word": word, "pos": pos, "original": text}
                     )

