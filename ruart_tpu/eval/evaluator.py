@@ -65,9 +65,9 @@ def evaluate(
         from ruart_tpu.data.pipeline import device_put_batch
 
         device_put = device_put_batch
-    it = batch_iterator(dataset, sampler, collator, num_workers=num_workers)
-    for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=device_put):
-        scores, loss = eval_step(params, q, ocr, od, gt)
+    def drain(pending):
+        nonlocal anls_sum, acc_sum, loss_sum, n_batches
+        scores, loss, num, extra = pending
         if multiprocess:
             # scores are a dp-sharded global array (rows on other hosts are
             # not addressable here); gather so every host decodes the full
@@ -78,7 +78,7 @@ def evaluate(
         else:
             probs = np.asarray(scores)
         _res, _save, _anls, _acc = decode_batch(
-            probs, extra, np.asarray(ocr["num"]),
+            probs, extra, np.asarray(num),
             fixed_answers, yesno, label_no_answer,
         )
         res.extend(_res)
@@ -87,6 +87,19 @@ def evaluate(
         acc_sum += _acc
         loss_sum += float(loss)
         n_batches += 1
+
+    # software pipeline: dispatch batch N+1 BEFORE fetching/decoding batch
+    # N, so the device never idles through the device->host fetch (RTT is
+    # material under the tunnel) + decode + metric accumulation
+    it = batch_iterator(dataset, sampler, collator, num_workers=num_workers)
+    pending = None
+    for q, ocr, od, gt, extra in prefetch(it, size=2, device_put=device_put):
+        scores, loss = eval_step(params, q, ocr, od, gt)
+        if pending is not None:
+            drain(pending)
+        pending = (scores, loss, ocr["num"], extra)
+    if pending is not None:
+        drain(pending)
 
     n = len(dataset)
     return {

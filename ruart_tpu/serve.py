@@ -137,13 +137,10 @@ class InferenceEngine:
             od = {k: jax.device_put(v) for k, v in od.items()}
             return start, n_real, (q, ocr, od, gt, extra)
 
-        it = self._collated_batches(samples)
-        for start, n_real, (q, ocr, od, gt, extra) in prefetch(
-            it, size=2, device_put=put
-        ):
-            scores, _ = self.eval_step(self.params, q, ocr, od, None)
+        def drain(pending):
+            start, n_real, scores, num, extra = pending
             res, save_res, _, _ = decode_batch(
-                np.asarray(scores), extra, np.asarray(ocr["num"]),
+                np.asarray(scores), extra, np.asarray(num),
                 self.fixed_answers,
                 yesno=self.spec.label_yesno,
                 label_no_answer=self.spec.label_no_answer,
@@ -154,6 +151,21 @@ class InferenceEngine:
                     "score": save_res[j]["score"],
                     "idx": save_res[j]["idx"],
                 }
+
+        # software pipeline (same as eval.evaluator): dispatch batch N+1
+        # before fetching/decoding batch N so the device never idles
+        # through the fetch RTT + decode
+        it = self._collated_batches(samples)
+        pending = None
+        for start, n_real, (q, ocr, od, gt, extra) in prefetch(
+            it, size=2, device_put=put
+        ):
+            scores, _ = self.eval_step(self.params, q, ocr, od, None)
+            if pending is not None:
+                drain(pending)
+            pending = (start, n_real, scores, ocr["num"], extra)
+        if pending is not None:
+            drain(pending)
         return results
 
     # -- production knobs -------------------------------------------------
