@@ -168,6 +168,46 @@ class InferenceEngine:
             drain(pending)
         return results
 
+    # -- staged single-wave API (BatchingServer's two-stage pipeline) -----
+    def prepare(self, samples: Sequence[Dict[str, Any]]):
+        """Host stage for one wave (<= batch_size samples): featurize ->
+        item build -> collate -> H2D. Returns an opaque prepared wave."""
+        import jax
+
+        _, n_real, (q, ocr, od, _gt, extra) = next(
+            self._collated_batches(samples)
+        )
+        q = {k: jax.device_put(v) for k, v in q.items()}
+        ocr = {k: jax.device_put(v) for k, v in ocr.items()}
+        od = {k: jax.device_put(v) for k, v in od.items()}
+        return n_real, q, ocr, od, extra
+
+    def dispatch(self, prepared):
+        """Device stage: enqueue the jitted step (async dispatch — errors
+        surface at the fetch inside :meth:`decode_pending`). Returns a
+        pending handle."""
+        n_real, q, ocr, od, extra = prepared
+        scores, _ = self.eval_step(self.params, q, ocr, od, None)
+        return scores, ocr["num"], extra, n_real
+
+    def decode_pending(self, pending) -> List[Dict[str, Any]]:
+        """Drain stage: fetch scores and decode the wave's real rows."""
+        scores, num, extra, n_real = pending
+        _res, save_res, _, _ = decode_batch(
+            np.asarray(scores), extra, np.asarray(num),
+            self.fixed_answers,
+            yesno=self.spec.label_yesno,
+            label_no_answer=self.spec.label_no_answer,
+        )
+        return [
+            {
+                "answer": save_res[j]["prediction"],
+                "score": save_res[j]["score"],
+                "idx": save_res[j]["idx"],
+            }
+            for j in range(n_real)
+        ]
+
     # -- production knobs -------------------------------------------------
     def quantize(self) -> "InferenceEngine":
         """Switch to the weight-only-int8 encoder (the INT8_BERT serving
@@ -354,8 +394,17 @@ class BatchingServer:
         self._lat_lock = threading.Lock()
         self._latencies_s: List[float] = []
         self._batch_sizes: List[int] = []
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        # two-stage pipeline: the gather thread forms waves and runs the
+        # HOST stage (featurize/collate/H2D) while the device thread runs
+        # the jitted step + decode — under continuous traffic wave K+1's
+        # host work overlaps wave K's device step (throughput ~= the
+        # slower stage instead of their sum). The bounded queue caps
+        # in-flight host work (backpressure).
+        self._prep_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._gather = threading.Thread(target=self._gather_loop, daemon=True)
+        self._device = threading.Thread(target=self._device_loop, daemon=True)
+        self._gather.start()
+        self._device.start()
 
     # -- client side -----------------------------------------------------
     def submit(self, sample: Dict[str, Any]):
@@ -372,8 +421,9 @@ class BatchingServer:
     def predict_one(self, sample: Dict[str, Any], timeout: Optional[float] = None):
         return self.submit(sample).result(timeout)
 
-    # -- worker ----------------------------------------------------------
-    def _loop(self):
+    # -- workers ----------------------------------------------------------
+    def _gather_loop(self):
+        """Form waves from the request queue and run the HOST stage."""
         import queue
         import time
 
@@ -383,6 +433,7 @@ class BatchingServer:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
                 if self._stop.is_set():
+                    self._prep_q.put(None)  # sentinel: no more waves
                     return
                 continue
             batch = [first]
@@ -395,21 +446,66 @@ class BatchingServer:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            samples = [s for s, _, _ in batch]
             try:
-                results = self.engine.predict(samples)
+                prepared = self.engine.prepare([s for s, _, _ in batch])
             except BaseException as e:
-                for _, fut, _ in batch:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+                self._fail(batch, e)
                 continue
-            done = time.monotonic()
-            with self._lat_lock:
-                self._batch_sizes.append(len(batch))
-                self._latencies_s.extend(done - t0 for _, _, t0 in batch)
-            for (_, fut, _), res in zip(batch, results):
-                if not fut.cancelled():
-                    fut.set_result(res)
+            self._prep_q.put((prepared, batch))
+
+    def _device_loop(self):
+        """Dispatch prepared waves; under back-to-back traffic wave K is
+        drained only after wave K+1 is dispatched (device never idles
+        through the fetch), but an idle queue drains immediately so a lone
+        request is never held hostage to traffic that may not come."""
+        import queue
+
+        pending = None
+        while True:
+            if pending is not None:
+                try:
+                    item = self._prep_q.get_nowait()
+                except queue.Empty:
+                    self._drain(*pending)
+                    pending = None
+                    continue
+            else:
+                item = self._prep_q.get()
+            if item is None:
+                if pending is not None:
+                    self._drain(*pending)
+                return
+            prepared, batch = item
+            try:
+                handle = self.engine.dispatch(prepared)
+            except BaseException as e:
+                self._fail(batch, e)
+                handle = None
+            if pending is not None:
+                self._drain(*pending)
+            pending = (handle, batch) if handle is not None else None
+
+    def _drain(self, handle, batch):
+        import time
+
+        try:
+            results = self.engine.decode_pending(handle)
+        except BaseException as e:
+            self._fail(batch, e)
+            return
+        done = time.monotonic()
+        with self._lat_lock:
+            self._batch_sizes.append(len(batch))
+            self._latencies_s.extend(done - t0 for _, _, t0 in batch)
+        for (_, fut, _), res in zip(batch, results):
+            if not fut.cancelled():
+                fut.set_result(res)
+
+    @staticmethod
+    def _fail(batch, exc):
+        for _, fut, _ in batch:
+            if not fut.cancelled():
+                fut.set_exception(exc)
 
     # -- observability ---------------------------------------------------
     def stats(self) -> Dict[str, float]:
@@ -431,9 +527,10 @@ class BatchingServer:
 
     # -- lifecycle -------------------------------------------------------
     def close(self, timeout: float = 30.0):
-        """Stop accepting work, drain in-flight requests, join the worker."""
+        """Stop accepting work, drain in-flight requests, join workers."""
         self._stop.set()
-        self._worker.join(timeout)
+        self._gather.join(timeout)
+        self._device.join(timeout)
 
     def __enter__(self):
         return self

@@ -176,7 +176,7 @@ def test_batching_server_propagates_errors(shipped_conf_opt):
     def boom(samples):
         raise ValueError("planted failure")
 
-    engine.predict = boom
+    engine.prepare = boom  # host stage of the two-stage pipeline
     with BatchingServer(engine, max_wait_ms=5.0) as server:
         fut = server.submit(_requests(1)[0])
         with pytest.raises(ValueError, match="planted failure"):
