@@ -503,7 +503,10 @@ class Trainer:
         )
         start = time.time()
         batch_i = batch_st - 1
-        put = self._device_put if self.mesh is not None else None
+        # H2D in the prefetch thread on single-device too (device_put
+        # releases the GIL; the consumer thread then only dispatches) —
+        # the same default the evaluator uses
+        put = self._device_put if self.mesh is not None else device_put_batch
         # per-step device losses accumulate here and are fetched only at
         # log_every cadence: an unconditional per-step float(loss) is a
         # device->host sync that serializes dispatch against the donated
