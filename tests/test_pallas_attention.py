@@ -207,3 +207,35 @@ def test_sharded_fused_attention_under_jit_with_sharded_inputs():
         )
     )
     np.testing.assert_allclose(np.asarray(fn(qs, ks_, vs, bs)), ref, atol=3e-5)
+
+
+def test_sharded_fused_attention_bias2d_matches_xla():
+    """The sequence-packing segment bias [B, L, L] through the shard_map'd
+    kernel on (dp, tp) meshes == the einsum reference — the packed-table x
+    tensor-parallel composition (dp shards the bias on dim 0; each tp
+    shard applies the full per-query bias to its local head bundle)."""
+    from ruart_tpu.ops.attention import (
+        attention_rows_xla,
+        sharded_fused_attention,
+        tp_kernel_ok,
+    )
+    from ruart_tpu.parallel.mesh import make_mesh
+
+    B, L, H, dh = 8, 16, 4, 64
+    assert tp_kernel_ok(H, dh, 2)
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    q = jax.random.normal(ks[0], (B, L, D))
+    k = jax.random.normal(ks[1], (B, L, D))
+    v = jax.random.normal(ks[2], (B, L, D))
+    seg = jax.random.randint(ks[3], (B, L), 0, 3)  # 0 = pad
+    same = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] > 0)
+    bias2d = (1.0 - same.astype(jnp.float32)) * -10000.0
+
+    ref = np.asarray(attention_rows_xla(q, k, v, bias2d, H))
+    for tp in (1, 2):
+        mesh = make_mesh(tp=tp)
+        out = sharded_fused_attention(
+            q, k, v, bias2d, H, mesh, group=4, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
