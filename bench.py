@@ -415,11 +415,15 @@ def main():
     # little, then fall back to an honest (labeled) CPU measurement at
     # reduced shapes rather than hang every mode to its timeout
     cpu = False
-    for attempt in range(4):
+    probes = int(os.environ.get("RUART_BENCH_PROBE_RETRIES", 2))
+    for attempt in range(probes):
         if _probe_accelerator():
             break
-        print(f"# accelerator probe {attempt + 1}/4 failed", file=sys.stderr)
-        if attempt < 3:
+        print(
+            f"# accelerator probe {attempt + 1}/{probes} failed",
+            file=sys.stderr,
+        )
+        if attempt < probes - 1:
             time.sleep(300)
     else:
         cpu = True
