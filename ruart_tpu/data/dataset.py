@@ -149,9 +149,15 @@ class VQADataset:
             return None, None
         return self.tokenizer.bertify(words)
 
-    def get_item_embedding(self, word: dict, original: str) -> Dict[str, Any]:
-        """Per-item id features (`VQA_Dataset.py:355-398`)."""
+    def get_item_embedding(
+        self, word: dict, original: str, position=None
+    ) -> Dict[str, Any]:
+        """Per-item id features (`VQA_Dataset.py:355-398`). ``position``
+        is folded in here so the caller doesn't pay a second per-candidate
+        dict merge."""
         res: Dict[str, Any] = {}
+        if position is not None:
+            res["position"] = position
         names = self._emb_names
         # id lists are shared by reference: every downstream consumer
         # (collate packing, label build) reads them without mutating
@@ -244,11 +250,11 @@ class VQADataset:
             q["bert_offsets"] = offsets
 
         ocr_items = [
-            {**self.get_item_embedding(t["word"], t["original"]), "position": t["pos"]}
+            self.get_item_embedding(t["word"], t["original"], t["pos"])
             for t in ocr_list
         ]
         od_items = [
-            {**self.get_item_embedding(t["word"], t["original"]), "position": t["pos"]}
+            self.get_item_embedding(t["word"], t["original"], t["pos"])
             for t in od_list
         ]
 

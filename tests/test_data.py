@@ -203,3 +203,53 @@ def test_collate_never_mutates_items(pipeline_env):
         coll(items)
     assert items == snap_items
     assert ds.data[0] == snap_datum
+
+
+def test_preprocessor_repeat_and_vocab_swap_exact():
+    """The specialized bigram synthesis and batched box normalization must
+    be pure optimizations: repeated featurization gives identical results,
+    and swapping the vocab recomputes ids rather than serving stale ones."""
+    from ruart_tpu.core.presets import stvqa_config
+
+    raw = make_synthetic_raw_dataset(6, seed=7, with_answers=False)
+    cfg = stvqa_config(
+        vocab_size=500,
+        batch_size=4,
+        preprocess_ocr_name="ocr_PMTD_ASTER,ES_ocr",
+        preprocess_od_name="OD_bottom-up",
+    )
+    cfg.opt["datadir"] = "."
+    cfg.opt["FEATURE_FOLDER"] = "."
+    pre = Preprocessor(cfg)
+    data_cold = pre._process_data(raw["data"])
+    pre.train_vocab = pre._build_vocab(data_cold)
+    pre.train_char_vocab = pre._build_char_vocab(pre.train_vocab)
+    pre._assign_ids(data_cold)
+
+    # repeat pass: results identical
+    data_warm = pre._process_data(raw["data"])
+    pre._assign_ids(data_warm)
+    for a, b in zip(data_cold, data_warm):
+        assert a["annotated_question"]["wordid"] == b["annotated_question"]["wordid"]
+        for name in ("ocr_PMTD_ASTER", "ES_ocr"):
+            assert [t["word"]["wordid"] for t in a[name]] == [
+                t["word"]["wordid"] for t in b[name]
+            ]
+            assert [t["word"]["charid"] for t in a[name]] == [
+                t["word"]["charid"] for t in b[name]
+            ]
+
+    # a NEW vocab object must invalidate the memo: ids follow the new ids
+    rot = pre.train_vocab[:5] + pre.train_vocab[5:][::-1]
+    assert sorted(rot) == sorted(pre.train_vocab)
+    pre.train_vocab = rot
+    data_rot = pre._process_data(raw["data"])
+    pre._assign_ids(data_rot)
+    w2id = {w: i for i, w in enumerate(rot)}
+    for d in data_rot:
+        ann = d["annotated_question"]
+        assert ann["wordid"] == [w2id.get(w, 1) for w in ann["word"]]
+        for t in d["ocr_PMTD_ASTER"]:
+            assert t["word"]["wordid"] == [
+                w2id.get(w, 1) for w in t["word"]["word"]
+            ]
