@@ -327,8 +327,9 @@ class Collator:
             (len_arr if len_arr is not None else np.zeros(0)).astype(np.int32)
         )
         pos = (
-            np.asarray(
-                [it["position"] for it in items_flat], np.float32
+            np.fromiter(
+                chain.from_iterable(it["position"] for it in items_flat),
+                np.float32, R * 8,
             ).reshape(R, 8)
             if R
             else np.zeros((0, 8), np.float32)
