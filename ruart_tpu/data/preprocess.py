@@ -28,6 +28,7 @@ import hashlib
 import logging
 import os
 from collections import Counter
+from itertools import chain
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import msgpack
@@ -199,6 +200,67 @@ def _normalize_boxes_batch(items: Sequence[dict], width: int, height: int):
 
 
 _ZERO8 = [0] * 8
+
+
+def _normalize_boxes_corpus(
+    raw: Sequence[dict], ocr_names: Sequence[str]
+) -> List[List[list]]:
+    """Normalized quads for every (datum, ocr source) group — iteration
+    order ``for datum in raw: for name in ocr_names`` — computed with ONE
+    vectorized float64 divide over the whole corpus instead of a numpy
+    call per group (numpy call overhead dominates at 15-30 boxes/group).
+    Bit-identical to per-group :func:`_normalize_boxes_batch` (same IEEE
+    per-element divisions); groups with non-8-length quads fall back to it.
+    """
+    plans: List[tuple] = []  # (items, W, H, fast)
+    counts: List[int] = []   # per non-empty fast group
+    gw: List[float] = []
+    gh: List[float] = []
+    total = 0
+    for datum in raw:
+        W, H = datum["image_width"], datum["image_height"]
+        for name in ocr_names:
+            items = datum.get(name, [])
+            try:
+                fast = all(len(it.get("pos", _ZERO8)) == 8 for it in items)
+            except TypeError:
+                fast = False  # unsized pos: the per-group path decides
+            if fast and items:
+                counts.append(len(items))
+                gw.append(W)
+                gh.append(H)
+                total += len(items)
+            plans.append((items, W, H, fast))
+    mats = None
+    if total:
+        try:
+            mat = np.fromiter(
+                chain.from_iterable(
+                    it.get("pos", _ZERO8)
+                    for items, _, _, fast in plans
+                    if fast
+                    for it in items
+                ),
+                np.float64,
+                total * 8,
+            ).reshape(total, 8)
+            cnt = np.asarray(counts)
+            mat[:, 0::2] /= np.repeat(np.asarray(gw, np.float64), cnt)[:, None]
+            mat[:, 1::2] /= np.repeat(np.asarray(gh, np.float64), cnt)[:, None]
+            mats = mat.tolist()
+        except (TypeError, ValueError):
+            mats = None  # non-numeric quad somewhere: per-group fallback
+    out: List[List[list]] = []
+    k = 0
+    for items, W, H, fast in plans:
+        if fast and mats is not None:
+            out.append(mats[k : k + len(items)])
+            k += len(items)
+        else:
+            out.append(_normalize_boxes_batch(items, W, H))
+            if fast:
+                k += len(items)
+    return out
 
 
 def od_center_to_quad(pos: Sequence[float], width: int, height: int) -> List[float]:
@@ -400,6 +462,8 @@ class Preprocessor:
         ocr_strs: List[str] = []
         od_strs: List[str] = []
         data = []
+        norm_all = _normalize_boxes_corpus(raw, ocr_names)
+        g = 0
         for datum in raw:
             W, H = datum["image_width"], datum["image_height"]
             out = {
@@ -411,7 +475,8 @@ class Preprocessor:
             for name in ocr_names:
                 out[name] = []
                 items = datum.get(name, [])
-                norm = _normalize_boxes_batch(items, W, H)
+                norm = norm_all[g]
+                g += 1
                 for item, npos in zip(items, norm):
                     word = item["word"].lower()
                     if word not in ocr_dict:
@@ -551,10 +616,29 @@ class Preprocessor:
             if self.train_char_vocab
             else None
         )
+        # item word-dicts are per-item COPIES whose token lists are shared
+        # by identity with the deduped annotations (_process_data), so ids
+        # are memoized per unique token list WITHIN this call (the memo
+        # holds the list itself, keeping id() valid; a cross-batch memo was
+        # measured slower — see the note in __init__). The produced id
+        # lists are shared by reference too: nothing downstream mutates
+        # them (dataset/collate read; gram synthesis concatenates fresh).
+        memo: Dict[int, tuple] = {}
+
         def ids_for(ann):
-            ann["wordid"] = token2id_sent(ann["word"], w2id)
-            if c2id is not None:
-                ann["charid"] = char2id_sent(ann["word"], c2id)
+            words = ann["word"]
+            hit = memo.get(id(words))
+            if hit is not None and hit[0] is words:
+                ann["wordid"] = hit[1]
+                if c2id is not None:
+                    ann["charid"] = hit[2]
+                return
+            wordid = token2id_sent(words, w2id)
+            charid = char2id_sent(words, c2id) if c2id is not None else None
+            ann["wordid"] = wordid
+            if charid is not None:
+                ann["charid"] = charid
+            memo[id(words)] = (words, wordid, charid)
 
         ocr_names, od_names, gram_names = self._names()
         for d in data:

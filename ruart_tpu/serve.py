@@ -31,6 +31,9 @@ from ruart_tpu.models.fusion.spec import ModelSpec
 from ruart_tpu.text.wordpiece import WordPieceTokenizer
 from ruart_tpu.train.train_step import make_eval_step
 
+_ZERO8 = [0] * 8
+_ZERO4 = [0, 0, 0, 0]
+
 
 class InferenceEngine:
     def __init__(
@@ -75,12 +78,14 @@ class InferenceEngine:
             "file_path": sample.get("image_path", ""),
             "image_width": sample.get("image_width", 1),
             "image_height": sample.get("image_height", 1),
+            # pos lists are consumed read-only downstream (normalization
+            # and od_center_to_quad build fresh lists), so no copies here
             self._ocr_name: [
-                {"word": t["word"], "pos": list(t.get("pos", [0] * 8))}
+                {"word": t["word"], "pos": t.get("pos", _ZERO8)}
                 for t in sample.get("ocr", [])
             ],
             self._od_name: [
-                {"object": t["object"], "pos": list(t.get("pos", [0, 0, 0, 0]))}
+                {"object": t["object"], "pos": t.get("pos", _ZERO4)}
                 for t in sample.get("od", [])
             ],
         }
@@ -88,7 +93,7 @@ class InferenceEngine:
             datum[self._es_name] = [
                 {
                     "word": t["word"],
-                    "pos": list(t.get("pos", [0] * 8)),
+                    "pos": t.get("pos", _ZERO8),
                     "cnt": t.get("cnt", 1),
                     "idx": i,
                 }

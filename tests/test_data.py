@@ -253,3 +253,46 @@ def test_preprocessor_repeat_and_vocab_swap_exact():
             assert t["word"]["wordid"] == [
                 w2id.get(w, 1) for w in t["word"]["word"]
             ]
+
+
+def test_normalize_boxes_corpus_matches_per_group():
+    """The one-divide corpus normalization must equal the per-group path
+    bit-for-bit, including ragged (len != 8) and non-numeric fallbacks."""
+    from ruart_tpu.data.preprocess import (
+        _normalize_boxes_batch,
+        _normalize_boxes_corpus,
+    )
+
+    rng = np.random.RandomState(7)
+    names = ["A", "B"]
+    raw = []
+    for i in range(6):
+        W, H = int(rng.randint(100, 2000)), int(rng.randint(100, 2000))
+        datum = {"image_width": W, "image_height": H}
+        for name in names:
+            items = [
+                {"pos": [float(v) for v in rng.randint(0, 2000, 8)]}
+                for _ in range(int(rng.randint(0, 7)))
+            ]
+            if i == 2 and name == "B":
+                items.append({"pos": [1.0] * 9})      # ragged group
+            if i == 4 and name == "A":
+                items.append({})                      # missing pos -> zeros
+            datum[name] = items
+        raw.append(datum)
+
+    got = _normalize_boxes_corpus(raw, names)
+    k = 0
+    for datum in raw:
+        W, H = datum["image_width"], datum["image_height"]
+        for name in names:
+            assert got[k] == _normalize_boxes_batch(datum[name], W, H)
+            k += 1
+    assert k == len(got)
+
+    # a non-numeric quad raises in both paths (normalize_ocr_box TypeError)
+    raw[1]["A"] = [{"pos": ["x"] + [0.0] * 7}, {"pos": [2.0] * 8}]
+    with pytest.raises(TypeError):
+        _normalize_boxes_batch(raw[1]["A"], 10, 10)
+    with pytest.raises(TypeError):
+        _normalize_boxes_corpus(raw, names)
