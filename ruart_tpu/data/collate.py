@@ -19,6 +19,19 @@ from ruart_tpu.core.config import Config
 
 log = logging.getLogger(__name__)
 
+# native ragged->fixed packing loops (ruart_tpu/native/fastcollate.cc):
+# ~10-50x less interpreter dispatch than the numpy fromiter walks below,
+# which remain the fallback (and the parity oracle in tests/test_data.py).
+# RUART_NO_NATIVE=1 opts out.
+import os as _os
+
+if _os.environ.get("RUART_NO_NATIVE"):
+    _FC = None
+else:
+    from ruart_tpu.native.build import load_fastcollate
+
+    _FC = load_fastcollate()
+
 # every batch key the dedup/packing paths can attach to a candidate block
 # (serve-time dense fallbacks strip exactly this set)
 DEDUP_KEYS = (
@@ -72,6 +85,10 @@ def _halving_ladder(cap: int, steps: int, align: int, floor: int) -> Tuple[int, 
 
 def _pad_ids(rows: Sequence[Sequence[int]], max_len: int) -> np.ndarray:
     n = len(rows)
+    if _FC is not None and isinstance(rows, list):
+        out = np.zeros((n, max_len), dtype=np.int32)
+        _FC.pad_rows(rows, out, np.zeros(n, np.int64), max_len)
+        return out
     rows = [r[:max_len] if len(r) > max_len else r for r in rows]
     lens = np.fromiter(map(len, rows), np.int64, n)
     vals = np.fromiter(chain.from_iterable(rows), np.int32, int(lens.sum()))
@@ -111,6 +128,13 @@ def unique_rows(flat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     risk) and O(rows) instead of O(rows log rows)."""
     n = flat.shape[0]
     flat = np.ascontiguousarray(flat)
+    if _FC is not None and n:
+        inverse = np.empty(n, np.int64)
+        firsts = np.empty(n, np.int64)
+        k = _FC.unique_rows(
+            flat, n, flat.shape[1] * flat.itemsize, inverse, firsts
+        )
+        return flat[firsts[:k]], inverse
     table: Dict[bytes, int] = {}
     inverse = np.empty(n, np.int64)
     first_rows = []
@@ -280,9 +304,15 @@ class Collator:
             return full.reshape((B, max_num) + trail)
 
         def fill_ids(key: str, L: int):
-            """-> ([R, L] compact rows, capped lengths). C-level value walk:
+            """-> ([R, L] compact rows, capped lengths). Native single-pass
+            fill when the extension is available, else a C-level value walk:
             chain.from_iterable instead of a nested python genexpr (the
             per-value generator frames dominated collate at batch 256)."""
+            if _FC is not None:
+                compact = np.zeros((R, L), np.int32)
+                lens = np.zeros(R, np.int64)
+                _FC.fill_ids(items_flat, key, compact, lens, L)
+                return compact, lens
             rows = [it[key] for it in items_flat]
             lens = np.fromiter(map(len, rows), np.int64, R)
             if (lens > L).any():
@@ -302,13 +332,14 @@ class Collator:
         # underlying sequence under several keys (glove/fasttext/phoc are
         # all the word-id list) — pack each distinct sequence once
         filled: Dict[str, tuple] = {}
+        alias_all = (
+            (lambda k1, k2: _FC.alias_all(items_flat, k1, k2))
+            if _FC is not None
+            else (lambda k1, k2: all(it[k1] is it[k2] for it in items_flat))
+        )
         for k in id_keys:
             src = next(
-                (
-                    k2
-                    for k2 in filled
-                    if all(it[k2] is it[k] for it in items_flat)
-                ),
+                (k2 for k2 in filled if alias_all(k2, k)),
                 None,
             )
             filled[k] = filled[src] if src is not None else fill_ids(k, max_len)
@@ -326,14 +357,18 @@ class Collator:
         out["len"] = scatter(
             (len_arr if len_arr is not None else np.zeros(0)).astype(np.int32)
         )
-        pos = (
-            np.fromiter(
-                chain.from_iterable(it["position"] for it in items_flat),
-                np.float32, R * 8,
-            ).reshape(R, 8)
-            if R
-            else np.zeros((0, 8), np.float32)
-        )
+        if _FC is not None:
+            pos = np.zeros((R, 8), np.float32)
+            _FC.fill_f32(items_flat, "position", pos, 8)
+        else:
+            pos = (
+                np.fromiter(
+                    chain.from_iterable(it["position"] for it in items_flat),
+                    np.float32, R * 8,
+                ).reshape(R, 8)
+                if R
+                else np.zeros((0, 8), np.float32)
+            )
         out["position"] = scatter(pos, 8)
 
         if has_bert:
@@ -341,24 +376,31 @@ class Collator:
             out["bert"] = scatter(compact_bert, max_bert_len)
             # offsets: [(st, ed)] pairs per candidate word, clipped to the
             # bert length cap, ed >= st
-            offs = [it["bert_offsets"] for it in items_flat]
-            counts = np.fromiter(map(len, offs), np.int64, R)
-            if (counts > max_len).any():
-                offs = [
-                    o[:max_len] if n > max_len else o
-                    for o, n in zip(offs, counts)
-                ]
-                np.minimum(counts, max_len, out=counts)
-            pairs = np.fromiter(
-                chain.from_iterable(chain.from_iterable(offs)),
-                np.int32,
-                int(counts.sum()) * 2,
-            ).reshape(-1, 2)
-            st = np.minimum(pairs[:, 0], max_bert_len - 1)
-            ed = np.maximum(np.minimum(pairs[:, 1], max_bert_len), st)
-            compact_off = np.zeros((R, max_len, 2), np.int32)
-            wmask = np.arange(max_len)[None, :] < counts[:, None]
-            compact_off[wmask] = np.stack([st, ed], axis=1)
+            if _FC is not None:
+                compact_off = np.zeros((R, max_len, 2), np.int32)
+                _FC.fill_offsets(
+                    items_flat, "bert_offsets", compact_off,
+                    np.zeros(R, np.int64), max_len, max_bert_len,
+                )
+            else:
+                offs = [it["bert_offsets"] for it in items_flat]
+                counts = np.fromiter(map(len, offs), np.int64, R)
+                if (counts > max_len).any():
+                    offs = [
+                        o[:max_len] if n > max_len else o
+                        for o, n in zip(offs, counts)
+                    ]
+                    np.minimum(counts, max_len, out=counts)
+                pairs = np.fromiter(
+                    chain.from_iterable(chain.from_iterable(offs)),
+                    np.int32,
+                    int(counts.sum()) * 2,
+                ).reshape(-1, 2)
+                st = np.minimum(pairs[:, 0], max_bert_len - 1)
+                ed = np.maximum(np.minimum(pairs[:, 1], max_bert_len), st)
+                compact_off = np.zeros((R, max_len, 2), np.int32)
+                wmask = np.arange(max_len)[None, :] < counts[:, None]
+                compact_off[wmask] = np.stack([st, ed], axis=1)
             out["bert_offsets"] = scatter(compact_off, max_len, 2)
 
             out["bert_mask"] = (out["bert"] != 0).astype(np.int32)

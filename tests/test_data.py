@@ -296,3 +296,63 @@ def test_normalize_boxes_corpus_matches_per_group():
         _normalize_boxes_batch(raw[1]["A"], 10, 10)
     with pytest.raises(TypeError):
         _normalize_boxes_corpus(raw, names)
+
+
+def test_native_collate_matches_python(pipeline_env):
+    """The _ruart_fastcollate extension must produce byte-identical batches
+    to the pure-Python path on every key, incl. dedup/pack artifacts and
+    offset clipping."""
+    from ruart_tpu.data import collate as C
+
+    if C._FC is None:
+        pytest.skip("native fastcollate unavailable")
+    cfg0, pre, vocab, *_ = pipeline_env
+    cfg = Config(dict(cfg0.opt))
+    cfg.opt["bert_pack"] = 1
+    cfg.opt["bert_dedup_frac"] = 1
+    tok = WordPieceTokenizer(build_demo_vocab())
+    train = _load_split(cfg, "train")
+    ds = VQADataset(train["data"], cfg, mode="train", tokenizer=tok)
+    items = [ds[i % len(ds)] for i in range(9)]
+    native = Collator(cfg)(items)
+    fc = C._FC
+    C._FC = None
+    try:
+        pure = Collator(cfg)(items)
+    finally:
+        C._FC = fc
+
+    def check(a, b, path):
+        assert type(a) is type(b), path
+        if isinstance(a, dict):
+            assert sorted(a) == sorted(b), path
+            for k in a:
+                check(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, np.ndarray):
+            assert a.dtype == b.dtype and a.shape == b.shape, path
+            assert (a == b).all(), path
+        else:
+            assert a == b, path
+
+    for i, (na, pu) in enumerate(zip(native, pure)):
+        check(na, pu, f"out[{i}]")
+
+
+def test_native_unique_and_pad_match_python():
+    from ruart_tpu.data import collate as C
+
+    if C._FC is None:
+        pytest.skip("native fastcollate unavailable")
+    rng = np.random.RandomState(0)
+    flat = rng.randint(0, 3, (64, 7)).astype(np.int32)
+    un, inv = C.unique_rows(flat)
+    fc = C._FC
+    C._FC = None
+    try:
+        un2, inv2 = C.unique_rows(flat)
+        rows = [list(rng.randint(0, 9, rng.randint(0, 11))) for _ in range(33)]
+        pad2 = C._pad_ids(rows, 6)
+    finally:
+        C._FC = fc
+    assert (un == un2).all() and (inv == inv2).all()
+    assert (C._pad_ids(rows, 6) == pad2).all()
