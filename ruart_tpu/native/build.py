@@ -48,12 +48,15 @@ def load_fastcollate(force: bool = False):
     """Build (if needed) and import the ``_ruart_fastcollate`` extension.
 
     Returns the module, or None when the toolchain/import fails — callers
-    keep their pure-Python path as fallback (and parity oracle).
+    keep their pure-Python path as fallback (and parity oracle). A stale
+    prebuilt .so (e.g. compiled against another Python ABI) triggers one
+    rebuild from source before giving up.
     """
-    try:
+
+    def attempt(f: bool):
         _build(
             FC_SRC, FC_LIB,
-            ["-I" + sysconfig.get_paths()["include"]], force,
+            ["-I" + sysconfig.get_paths()["include"]], f,
         )
         spec = importlib.util.spec_from_file_location(
             "_ruart_fastcollate", FC_LIB
@@ -61,5 +64,11 @@ def load_fastcollate(force: bool = False):
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod
+
+    try:
+        return attempt(force)
     except Exception:
-        return None
+        try:
+            return attempt(True)
+        except Exception:
+            return None
