@@ -81,6 +81,11 @@ PyObject* fill_ids(PyObject*, PyObject* args) {
         ok = false;
         break;
       }
+      if (x != (long)(int32_t)x) {  // np.fromiter(np.int32) would raise
+        PyErr_SetString(PyExc_OverflowError, "id out of int32 range");
+        ok = false;
+        break;
+      }
       row[j] = (int32_t)x;
     }
     Py_DECREF(fast);
@@ -125,6 +130,11 @@ PyObject* pad_rows(PyObject*, PyObject* args) {
     for (Py_ssize_t j = 0; j < m; j++) {
       long x = PyLong_AsLong(e[j]);
       if (x == -1 && PyErr_Occurred()) {
+        ok = false;
+        break;
+      }
+      if (x != (long)(int32_t)x) {  // np.fromiter(np.int32) would raise
+        PyErr_SetString(PyExc_OverflowError, "id out of int32 range");
         ok = false;
         break;
       }
@@ -344,9 +354,15 @@ PyObject* alias_all(PyObject*, PyObject* args) {
   for (Py_ssize_t i = 0; i < R; i++) {
     PyObject* item = PyList_GET_ITEM(items, i);
     PyObject* a = get_key(item, k1);
-    if (!a && PyErr_Occurred()) return nullptr;
+    if (!a) {  // missing key raises, matching the python it[k] probe
+      if (!PyErr_Occurred()) PyErr_SetObject(PyExc_KeyError, k1);
+      return nullptr;
+    }
     PyObject* b = get_key(item, k2);
-    if (!b && PyErr_Occurred()) return nullptr;
+    if (!b) {
+      if (!PyErr_Occurred()) PyErr_SetObject(PyExc_KeyError, k2);
+      return nullptr;
+    }
     if (a != b) Py_RETURN_FALSE;
   }
   Py_RETURN_TRUE;
