@@ -356,3 +356,64 @@ def test_native_unique_and_pad_match_python():
         C._FC = fc
     assert (un == un2).all() and (inv == inv2).all()
     assert (C._pad_ids(rows, 6) == pad2).all()
+
+
+def test_native_fill_fuzz_parity():
+    """Randomized ragged inputs through the native fill paths must match
+    the numpy fallbacks element-for-element (empty rows, over-long rows,
+    tuples vs lists, negative and cap-crossing offsets)."""
+    from ruart_tpu.data import collate as C
+
+    if C._FC is None:
+        pytest.skip("native fastcollate unavailable")
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        R = int(rng.randint(0, 40))
+        L = int(rng.randint(1, 9))
+        items = []
+        for _ in range(R):
+            n = int(rng.randint(0, 12))
+            ids = [int(v) for v in rng.randint(0, 30000, n)]
+            offs = [
+                (int(rng.randint(-2, 12)), int(rng.randint(-2, 14)))
+                for _ in range(int(rng.randint(0, 7)))
+            ]
+            items.append({
+                "ids": tuple(ids) if rng.rand() < 0.3 else ids,
+                "pos": [float(v) for v in rng.randn(8)],
+                "off": offs,
+            })
+        # fill_ids vs python (_pad_ids fallback semantics)
+        vals = np.zeros((R, L), np.int32)
+        lens = np.zeros(R, np.int64)
+        C._FC.fill_ids(items, "ids", vals, lens, L)
+        fc = C._FC
+        C._FC = None
+        try:
+            ref = C._pad_ids([list(it["ids"]) for it in items], L)
+        finally:
+            C._FC = fc
+        assert (vals == ref).all()
+        assert all(
+            lens[i] == min(len(items[i]["ids"]), L) for i in range(R)
+        )
+        # fill_f32 vs fromiter float32 cast
+        pos = np.zeros((R, 8), np.float32)
+        C._FC.fill_f32(items, "pos", pos, 8)
+        ref_pos = np.array([it["pos"] for it in items], np.float32).reshape(
+            R, 8
+        ) if R else pos
+        assert (pos == ref_pos).all()
+        # fill_offsets vs the numpy clip pipeline
+        MW, MB = int(rng.randint(1, 8)), int(rng.randint(1, 10))
+        off_c = np.zeros((R, MW, 2), np.int32)
+        cnt = np.zeros(R, np.int64)
+        C._FC.fill_offsets(items, "off", off_c, cnt, MW, MB)
+        for i in range(R):
+            offs = items[i]["off"][:MW]
+            assert cnt[i] == len(offs)
+            for j, (st, ed) in enumerate(offs):
+                st2 = min(st, MB - 1)
+                ed2 = max(min(ed, MB), st2)
+                assert off_c[i, j, 0] == st2 and off_c[i, j, 1] == ed2
+            assert (off_c[i, len(offs):] == 0).all()
