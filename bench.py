@@ -98,7 +98,9 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
     q, ocr, od = (
         {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
     )
-    params = model.init(jax.random.PRNGKey(0), q, ocr, od)
+    # jit the init: eager flax init dispatches one RPC per op over the axon
+    # tunnel (minutes); one compiled program is a single round trip
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), q, ocr, od)
 
     def fn(params, q, ocr, od):
         return model.apply(params, q, ocr, od, deterministic=True)
@@ -178,7 +180,7 @@ def build_corpus_model(batch_size: int, dtype: str, n: int, seed: int = 0,
     model = RUArtModel(spec)
     coll = Collator(cfg)
     q, ocr, od, gt, extra = coll([ds[i] for i in range(batch_size)])
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         *({k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)),
     )

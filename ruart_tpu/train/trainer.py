@@ -198,7 +198,9 @@ class Trainer:
         from ruart_tpu.data.synthetic import make_synthetic_batch
 
         q, ocr, od, _ = make_synthetic_batch(self.spec, cfg, batch_size=1)
-        params = self.model.init(
+        # jitted: eager flax init dispatches one device RPC per op, which is
+        # minutes over a remote-TPU tunnel; one compiled program is one trip
+        params = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed),
             *(jax.tree.map(lambda x: x, t) for t in (q, ocr, od)),
         )

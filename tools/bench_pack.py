@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from ruart_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def fence_timeit(f, *a, iters=10, warmup=2):
     for _ in range(warmup):
@@ -57,7 +61,7 @@ def build(batch_size: int, dtype: str, pack: bool):
     q, ocr, od = (
         {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
     )
-    params = model.init(jax.random.PRNGKey(0), q, ocr, od)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), q, ocr, od)
 
     fn = jax.jit(
         lambda p, a, b, c: model.apply(p, a, b, c, deterministic=True)

@@ -61,7 +61,7 @@ def main(batch_size: int = 64, pack: bool = False):
     cfg = BertConfig(vocab_size=5000, dtype="bfloat16")
     bert = BertModel(cfg)
     ids0 = jnp.ones((8, 16), jnp.int32)
-    bparams = bert.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))
+    bparams = jax.jit(bert.init)(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))
     bf = jax.jit(lambda p, ids, m: bert.apply(p, ids, m))
     bf_seg = jax.jit(
         lambda p, ids, seg, pos: bert.apply(
