@@ -192,8 +192,12 @@ class Collator:
         # additive bias as pad keys, which underflows to a hard zero in the
         # fp32 softmax — identical math to the dense row, see
         # models/bert/model.py). Cuts encoder rows ~2-4x on realistic
-        # batches; the encoder is the device-profile majority.
-        self.pack = bool(int(cfg.opt.get("bert_pack", 0)))
+        # batches; the encoder is the device-profile majority. Measured
+        # 1.985x on the flagship forward (v5e-1, bf16 batch 256: 294.9 ->
+        # 148.5 ms) and 1.58x on CPU — ON by default; `bert_pack 0` opts
+        # out. Packing rides the dedup table, so bert_dedup_frac 0 also
+        # disables it.
+        self.pack = bool(int(cfg.opt.get("bert_pack", 1)))
         self.pack_len = int(cfg.opt.get("bert_pack_len", 32))
         # packing cuts rows 2-4x on realistic candidate lengths, so the
         # packed-row ladder must reach well below size/2 (4 halving steps)
