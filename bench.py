@@ -81,8 +81,9 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
     from ruart_tpu.models.fusion.spec import ModelSpec
 
     cfg = stvqa_config(vocab_size=5000, batch_size=batch_size)
-    if pack:
-        cfg.opt["bert_pack"] = 1
+    # the collator packs by default: set the key BOTH ways so the dense
+    # A/B arm is genuinely dense
+    cfg.opt["bert_pack"] = 1 if pack else 0
     spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
     model = RUArtModel(spec)
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
@@ -170,8 +171,7 @@ def build_corpus_model(batch_size: int, dtype: str, n: int, seed: int = 0,
         preprocess_ocr_name="ocr_PMTD_ASTER,ES_ocr",
         preprocess_od_name="OD_bottom-up",
     )
-    if pack:
-        cfg.opt["bert_pack"] = 1
+    cfg.opt["bert_pack"] = 1 if pack else 0
     root = tempfile.mkdtemp()
     cfg.opt["datadir"] = root
     cfg.opt["FEATURE_FOLDER"] = root + "/features"

@@ -34,8 +34,10 @@ def test_dedup_matches_dense(shipped_conf_opt):
     params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
     dense = np.asarray(model.apply(params, jq, jocr, jod))
 
-    # dedup batch: attach unique/inverse exactly as the Collator does
-    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    # dedup batch: attach unique/inverse exactly as the Collator does.
+    # bert_pack 0: this test pins the UNPACKED unique-table path (packing
+    # is default-on and has its own equivalence suite in test_pack.py).
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 0}))
     B, N, Lb = ocr["bert"].shape
     ocr_d = dict(ocr)
     out = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
@@ -66,8 +68,9 @@ def test_dedup_cap_fallback(shipped_conf_opt):
     out = {"bert": rng.randint(1, 60, size=(B, N, Lb)).astype(np.int32)}
     out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
     coll._add_dedup(out, B, N, Lb)
-    # 96 random rows are all unique > cap 64 -> fallback
-    assert "bert_unique" not in out
+    # 96 random rows are all unique > cap 64 -> fallback (no dedup OR
+    # packed artifacts; packing rides the dedup table)
+    assert "bert_unique" not in out and "bert_packed" not in out
 
 
 def test_dedup_on_by_default_at_realistic_shapes(shipped_conf_opt):
@@ -79,6 +82,7 @@ def test_dedup_on_by_default_at_realistic_shapes(shipped_conf_opt):
     opt.pop("bert_dedup_frac", None)
     coll = Collator(Config(opt))
     assert coll.dedup_frac == 0.25
+    assert coll.pack  # sequence packing rides the dedup table by default
 
     rng = np.random.RandomState(0)
     B, N, Lb = 8, 64, 10  # 512 rows, cap = ceil(0.25*512/64)*64 = 128
@@ -86,16 +90,24 @@ def test_dedup_on_by_default_at_realistic_shapes(shipped_conf_opt):
     out = {"bert": pool[rng.randint(0, 40, size=(B, N))]}
     out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
     coll._add_dedup(out, B, N, Lb)
-    assert "bert_unique" in out
-    # <= 40 unique rows land in the small cap bucket (default ladder is
-    # (cap/2, cap) = (64, 128); bucket count bounds the jit program count)
-    assert out["bert_unique"].shape[0] == 64
+    # default artifacts are the PACKED table (+ inverse for the gather)
+    assert "bert_packed" in out and "bert_inverse" in out
+    assert "bert_unique" not in out
+
+    # same batch through the unpacked path: <= 40 unique rows land in the
+    # small cap bucket (default ladder is (cap/2, cap) = (64, 128); bucket
+    # count bounds the jit program count)
+    coll_u = Collator(Config({**opt, "bert_pack": 0}))
+    out_u = {"bert": out["bert"], "bert_mask": out["bert_mask"]}
+    coll_u._add_dedup(out_u, B, N, Lb)
+    assert "bert_unique" in out_u
+    assert out_u["bert_unique"].shape[0] == 64
 
     # tiny batch: cap 64 >= B*N 24 -> no win -> dense
     small = {"bert": pool[rng.randint(0, 40, size=(2, 12))]}
     small["bert_mask"] = (small["bert"] != 0).astype(np.int32)
     coll._add_dedup(small, 2, 12, Lb)
-    assert "bert_unique" not in small
+    assert "bert_unique" not in small and "bert_packed" not in small
 
 
 def test_dedup_fallback_is_logged(shipped_conf_opt, caplog):
@@ -111,7 +123,7 @@ def test_dedup_fallback_is_logged(shipped_conf_opt, caplog):
     out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
     with caplog.at_level(logging.WARNING, logger="ruart_tpu.data.collate"):
         coll._add_dedup(out, B, N, Lb)
-    assert "bert_unique" not in out
+    assert "bert_unique" not in out and "bert_packed" not in out
     assert coll.dedup_fallbacks == 1
     assert any("dedup fallback" in r.message for r in caplog.records)
 
@@ -122,6 +134,7 @@ def test_dedup_cap_ladder(shipped_conf_opt):
     restores the single fixed cap shape."""
     opt = dict(shipped_conf_opt)
     opt.update(TINY_OVERRIDES)
+    opt["bert_pack"] = 0  # bucket-shape assertions are on the unpacked table
     coll = Collator(Config(opt))
     # default 4 halving steps: batch-global duplication grows sublinearly
     # with batch, so the ladder must reach well below cap/2
@@ -191,7 +204,7 @@ def test_dedup_len_bucket_matches_dense(shipped_conf_opt):
     params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
     dense = np.asarray(model.apply(params, jq, jocr, jod))
 
-    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 0}))
     B, N, Lb = ocr["bert"].shape
     out = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
     coll._add_dedup(out, B, N, Lb)
@@ -235,7 +248,7 @@ def test_dedup_on_mesh_matches_dense_and_single_device(shipped_conf_opt):
     jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
     params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
 
-    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0}))
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 0}))
     B, N, Lb = ocr["bert"].shape
     dd = {"bert": ocr["bert"], "bert_mask": ocr["bert_mask"]}
     coll._add_dedup(dd, B, N, Lb)

@@ -47,8 +47,8 @@ def build(batch_size: int, dtype: str, pack: bool):
     from ruart_tpu.models.fusion.spec import ModelSpec
 
     cfg = stvqa_config(vocab_size=5000, batch_size=batch_size)
-    if pack:
-        cfg.opt["bert_pack"] = 1
+    # collator packs by default: set the key both ways so dense is dense
+    cfg.opt["bert_pack"] = 1 if pack else 0
     spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
     model = RUArtModel(spec)
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
