@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ruart_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def fence_timeit(f, *a, iters=10, warmup=2):
     """Wall time with a small device->host fetch as the completion fence
