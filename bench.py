@@ -96,6 +96,9 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
         for block in (ocr, od):
             B, N, Lb = block["bert"].shape
             coll._add_dedup(block, B, N, Lb)
+            # candidate-row compaction (cand_compact, default-on): attach
+            # cand_sel exactly as the Collator does for every real batch
+            coll._add_compact(block, B, N)
     q, ocr, od = (
         {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
     )

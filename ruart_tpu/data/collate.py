@@ -39,6 +39,10 @@ DEDUP_KEYS = (
     "bert_packed", "bert_packed_seg", "bert_packed_pos", "bert_unpack",
 )
 
+# candidate-row compaction key (`cand_compact 1`, see _add_compact):
+# independent of the dedup/pack keys — a block can carry any combination
+COMPACT_KEYS = ("cand_sel",)
+
 
 def _parse_buckets(raw, cap: int, floor: int = 1) -> Tuple[int, ...]:
     """Bucket ladder for one shape dimension, largest = the conf cap.
@@ -247,6 +251,20 @@ class Collator:
         self.od_word_buckets = _halving_ladder(
             cfg.max_od_len, word_steps, align=4, floor=4
         )
+        # candidate-row compaction (`cand_compact 1`, ON by default): the
+        # per-candidate pipeline (token embed + pre-align concat + the
+        # multi2one scan + BERT unpack/pooling) is row-independent, and
+        # realistic batches fill only a fraction of the [B, N] candidate
+        # grid (num varies per question while N is the bucket/cap). The
+        # collator attaches `cand_sel` — the flat indices of REAL candidate
+        # rows, padded with the out-of-bounds sentinel B*N to a bucketed
+        # length — and the model runs that whole stage on [R_cap] gathered
+        # rows, scattering last-states back (pad indices drop, and the
+        # candidate mask already zeroes pad rows). EXACT: candidate rows
+        # never interact before the [B, N]-level context_rnn, which runs on
+        # the scattered full grid.
+        self.compact = bool(int(cfg.opt.get("cand_compact", 1)))
+        self.compact_buckets = int(cfg.opt.get("cand_compact_buckets", 6))
 
     # -- candidate block -------------------------------------------------
     def _collate_items(
@@ -410,7 +428,44 @@ class Collator:
             out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
             if self.dedup_frac > 0:
                 self._add_dedup(out, B, max_num, max_bert_len)
+        if self.compact:
+            self._add_compact(out, B, max_num)
         return out
+
+    def compact_sizes(self, B: int, max_num: int) -> Tuple[int, ...]:
+        """Every ``cand_sel`` length this collator can emit for a
+        [B, max_num] block, ascending and strictly below the no-win dense
+        row count (serving warmup crosses these). A 3/4-ratio ladder, not
+        halvings: candidate fill is commonly 50-75% of the grid, a region
+        a power-of-2 ladder misses entirely (the batch then falls back to
+        dense and compaction never fires). Each step still buys >= 25%."""
+        if not self.compact:
+            return ()
+        total = B * max_num
+        sizes, size = set(), float(total)
+        for _ in range(max(1, self.compact_buckets)):
+            size *= 0.75
+            s = max(8, int(-(-size // 8) * 8))  # ceil to 8-aligned
+            if s < total:
+                sizes.add(s)
+            if s <= 8:
+                break
+        return tuple(sorted(sizes))
+
+    def _add_compact(self, out: Dict[str, np.ndarray], B: int, max_num: int):
+        """Attach ``cand_sel`` [R-bucket] — flat indices (b * max_num + n)
+        of the real candidate rows, padded with the out-of-bounds sentinel
+        ``B * max_num`` — when a ladder bucket beats the dense row count."""
+        num = out["num"]
+        R = int(num.sum())
+        sizes = self.compact_sizes(B, max_num)
+        if not sizes or R == 0 or R > sizes[-1]:
+            return  # compaction cannot beat the dense grid for this batch
+        cap = _pick_bucket(sizes, R)
+        mask = np.arange(max_num, dtype=np.int64)[None, :] < num[:, None]
+        sel = np.full(cap, B * max_num, np.int32)
+        sel[:R] = np.flatnonzero(mask.reshape(-1))
+        out["cand_sel"] = sel
 
     def dedup_cap(self, B: int, max_num: int) -> int:
         """The 64-aligned unique-table cap for a [B, max_num] block."""

@@ -320,35 +320,89 @@ class RUArtModel(nn.Module):
         word_emb [B, N, L, vocab_dim])."""
         s = self.spec
         B, N, L = item["fasttext" if s.use_fasttext else "glove"].shape[:3]
-        # bert_unique / the packed-table tensors are batch-global;
-        # everything else flattens per-candidate to [B*N, ...]
+        # bert_unique / the packed-table tensors are batch-global, cand_sel
+        # is a batch-global row index; everything else flattens
+        # per-candidate to [B*N, ...]
         GLOBAL = (
             "bert_unique", "bert_packed", "bert_packed_seg",
-            "bert_packed_pos", "bert_unpack",
+            "bert_packed_pos", "bert_unpack", "cand_sel",
         )
         flat = {
             k: (v if k in GLOBAL else _flatten_cand(v))
             for k, v in item.items()
             if k not in ("num",)
         }
+        # candidate-row compaction (Collator._add_compact): every op from
+        # token embedding through the multi2one last-state is row-
+        # independent, so run it on the gathered REAL rows only and scatter
+        # the [R_cap, H] result back — exact (pad rows are zeroed by
+        # cand_mask below either way; the pad sentinel index B*N clamps on
+        # gather and drops on scatter). Pre-align keeps the full [B, N*L]
+        # layout: each token attends to its OWN question, which the batched
+        # attention expresses without materializing per-row question copies.
+        sel = flat.pop("cand_sel", None)
 
-        emb, extras = self._embed(flat, s.ocr_embedding, s.ocr_emb_initial, deterministic)
-        word_emb = extras["word_emb"]                             # [B*N, L, 300]
-        tok_mask = self._mask_by_membership(flat, s.ocr_embedding)  # [B*N, L]
-
-        if s.pre_align and s.pre_align_before_rnn:
-            # every token attends to the question's word vectors; padded
-            # tokens zeroed to match the reference's zero-filled buffers
-            tokens = word_emb.reshape(B, N * L, -1)
-            attended = self.pre_align(
-                tokens, q_word_emb, q_word_mask, deterministic=deterministic
+        if sel is not None:
+            # pad entries carry the sentinel B*N: clamp them in-bounds for
+            # every gather (an out-of-bounds take FILLS with NaN, which the
+            # forward would drop but the backward would propagate into the
+            # weight gradients) and zero their contribution on the way back
+            # out with `valid` + scatter-ADD (the clamped target row B*N-1
+            # just accumulates zeros)
+            valid = (sel < B * N)
+            sel = jnp.minimum(sel, B * N - 1)
+            word_key = "fasttext" if "fasttext" in s.ocr_embedding else "glove"
+            embed_mod = (
+                self.fast_embed if word_key == "fasttext" else self.glove_embed
             )
-            attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
-            emb = jnp.concatenate([emb, attended], axis=-1)
+            word_emb = embed_mod(flat[word_key])                 # [B*N, L, 300]
+            attended = None
+            if s.pre_align and s.pre_align_before_rnn:
+                tok_mask = self._mask_by_membership(flat, s.ocr_embedding)
+                tokens = word_emb.reshape(B, N * L, -1)
+                attended = self.pre_align(
+                    tokens, q_word_emb, q_word_mask, deterministic=deterministic
+                )
+                attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
+            flat = {
+                k: (v if k in GLOBAL else jnp.take(v, sel, axis=0))
+                for k, v in flat.items()
+            }
+            emb, _ = self._embed(
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
+            )
+            if attended is not None:
+                emb = jnp.concatenate(
+                    [emb, jnp.take(attended, sel, axis=0)], axis=-1
+                )
+            m2o = self.multi2one(emb, deterministic=deterministic)
+            last = gather_last_state(m2o, flat["len"])           # [R_cap, H]
+            last = last * valid[:, None].astype(last.dtype)
+            cand = (
+                jnp.zeros((B * N, last.shape[-1]), last.dtype)
+                .at[sel].add(last)
+                .reshape(B, N, -1)
+            )
+        else:
+            emb, extras = self._embed(
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
+            )
+            word_emb = extras["word_emb"]                         # [B*N, L, 300]
+            tok_mask = self._mask_by_membership(flat, s.ocr_embedding)
 
-        m2o = self.multi2one(emb, deterministic=deterministic)   # [B*N, L, H]
-        last = gather_last_state(m2o, flat["len"])               # [B*N, H]
-        cand = last.reshape(B, N, -1)
+            if s.pre_align and s.pre_align_before_rnn:
+                # every token attends to the question's word vectors; padded
+                # tokens zeroed to match the reference's zero-filled buffers
+                tokens = word_emb.reshape(B, N * L, -1)
+                attended = self.pre_align(
+                    tokens, q_word_emb, q_word_mask, deterministic=deterministic
+                )
+                attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
+                emb = jnp.concatenate([emb, attended], axis=-1)
+
+            m2o = self.multi2one(emb, deterministic=deterministic)  # [B*N, L, H]
+            last = gather_last_state(m2o, flat["len"])            # [B*N, H]
+            cand = last.reshape(B, N, -1)
         cand_mask = (
             jnp.arange(N, dtype=jnp.int32)[None, :] < item["num"][:, None]
         ).astype(jnp.float32)

@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from ruart_tpu.core.config import Config
-from ruart_tpu.data.collate import DEDUP_KEYS, Collator
+from ruart_tpu.data.collate import COMPACT_KEYS, DEDUP_KEYS, Collator
 from ruart_tpu.data.dataset import VQADataset
 from ruart_tpu.data.preprocess import Preprocessor
 from ruart_tpu.eval.decoder import decode_batch
@@ -236,6 +236,7 @@ class InferenceEngine:
         """Precompile every batch signature the collator can emit — the
         (OCR num/len bucket) x (q-BERT width) x (OCR/OD word width) x
         (OCR dedup (rows, len) or dense) x (OD dedup (rows, len) or dense)
+        x (OCR/OD cand_sel length or dense grid)
         product — so no live request ever pays a compile. The full cross
         product matters: each block independently falls back to dense when
         its uniques overflow its cap, and every bucket axis varies per
@@ -283,7 +284,13 @@ class InferenceEngine:
             )
             ocr_opts = dedup_opts(n_bucket, l_bucket)
             od_opts = dedup_opts(od["bert"].shape[1], od["bert"].shape[2])
-            for opt_ocr, opt_od in itertools.product(ocr_opts, od_opts):
+            # candidate-compaction axis: None (dense grid) plus every
+            # cand_sel ladder length for each block
+            ocr_sels = (None,) + coll.compact_sizes(B, n_bucket)
+            od_sels = (None,) + coll.compact_sizes(B, od["bert"].shape[1])
+            for opt_ocr, opt_od, sel_ocr, sel_od in itertools.product(
+                ocr_opts, od_opts, ocr_sels, od_sels
+            ):
                 if max_programs is not None and count >= max_programs:
                     log.warning(
                         "warmup stopped at max_programs=%d; remaining "
@@ -292,9 +299,18 @@ class InferenceEngine:
                     )
                     return count
                 ocr_v, od_v = dict(ocr), dict(od)
-                for block, opt_rl in ((ocr_v, opt_ocr), (od_v, opt_od)):
-                    for k in DEDUP_KEYS:
+                for block, opt_rl, n_sel in (
+                    (ocr_v, opt_ocr, sel_ocr), (od_v, opt_od, sel_od)
+                ):
+                    for k in DEDUP_KEYS + COMPACT_KEYS:
                         block.pop(k, None)
+                    if n_sel is not None:
+                        # only the length matters to the compile; real
+                        # in-range indices keep the scatter well-formed
+                        Bb, N = block["num"].shape[0], block["bert"].shape[1]
+                        block["cand_sel"] = (
+                            np.arange(n_sel, dtype=np.int32) % (Bb * N)
+                        )
                     if opt_rl is None:
                         continue
                     size, lsz = opt_rl[:2]

@@ -351,6 +351,36 @@ def test_forward_parity_packed_tables(shipped_pair):
     _assert_close(ref_scores, ours)
 
 
+def test_forward_parity_compacted_rows(shipped_pair):
+    """Candidate-row compaction (`cand_sel`, Collator._add_compact) keeps
+    logit parity with the ACTUAL torch reference: sparsify the candidate
+    grid (num reduced), attach cand_sel on our side only, and compare
+    against the reference forward on the same sparsified batch."""
+    import jax.numpy as jnp
+
+    from ruart_tpu.core.config import Config
+    from ruart_tpu.data.collate import Collator
+
+    rng = np.random.RandomState(11)
+    coll = Collator(Config(dict(shipped_pair.cfg.opt)))
+    blocks = {}
+    for name in ("ocr", "od"):
+        block = {k: np.array(v) for k, v in getattr(shipped_pair, name).items()}
+        Bb, N = block["num"].shape[0], block["bert"].shape[1]
+        block["num"] = np.minimum(
+            block["num"], rng.randint(1, max(2, N // 2), size=Bb)
+        ).astype(np.int32)
+        coll._add_compact(block, Bb, N)
+        assert "cand_sel" in block, f"compaction did not attach for {name}"
+        blocks[name] = block
+    pair = types.SimpleNamespace(**vars(shipped_pair))
+    pair.ocr, pair.od = blocks["ocr"], blocks["od"]
+    pair.jocr = {k: jnp.asarray(v) for k, v in blocks["ocr"].items()}
+    pair.jod = {k: jnp.asarray(v) for k, v in blocks["od"].items()}
+    ref_scores, ours = _forward_both(pair)
+    _assert_close(ref_scores, ours)
+
+
 def test_forward_parity_es_post_process(ref):
     """ES post_process variant: the `SDNet.py:292-324` split + mask quirk
     (first cnt-es_len bits kept when cnt >= es_len, untouched otherwise) and

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 
 from ruart_tpu.utils.cache import enable_compilation_cache
 
@@ -86,7 +87,11 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
                 capture_intermediates=lambda mdl, _m: mdl.path == (name,),
                 mutable=["intermediates"],
             )
-            return state["intermediates"][name]["__call__"]
+            # sum-reduce the captured activations: forces the full upstream
+            # computation but keeps output buffers scalar (full activations
+            # for every call site OOM the chip at batch 256)
+            out = state["intermediates"][name]["__call__"]
+            return jax.tree.map(lambda t: t.astype(jnp.float32).sum(), out)
 
         return jax.jit(run)
 
