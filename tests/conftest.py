@@ -28,6 +28,12 @@ jax.config.update("jax_platforms", "cpu")
 from ruart_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache(os.path.join(str(REPO_ROOT), ".jax_test_cache"))
+# Cache READS only: a persistent-cache WRITE (compilation_cache.py
+# put_executable_and_time) segfaulted the whole suite mid-run — the suite is
+# the one process that holds torch (test_reference_parity) and jax together,
+# and the cache's zstd compressor is known to clash with torch's bundled
+# zstd symbols. Warm reads keep the suite fast; new programs just recompile.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 import pytest
 
