@@ -89,16 +89,26 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
     _add_realistic_duplication(ocr, 0.125, seed=1)
     _add_realistic_duplication(od, 0.03, seed=2)
+    coll = Collator(cfg)
     if dedup:
         # attach bert_unique/bert_inverse exactly as the default Collator
         # does for every real batch (bert_dedup_frac defaults to 0.25)
-        coll = Collator(cfg)
         for block in (ocr, od):
             B, N, Lb = block["bert"].shape
             coll._add_dedup(block, B, N, Lb)
-            # candidate-row compaction (cand_compact, default-on): attach
-            # cand_sel exactly as the Collator does for every real batch
-            coll._add_compact(block, B, N)
+    # candidate-row compaction (cand_compact, default-on) is independent of
+    # dedup: attach cand_sel exactly as the Collator does for every real
+    # batch, and report whether it actually attached so an A/B arm can't
+    # silently benchmark the dense grid while being labeled compact
+    for name, block in (("ocr", ocr), ("od", od)):
+        B, N = block["bert"].shape[:2]
+        coll._add_compact(block, B, N)
+        if "cand_sel" not in block:
+            print(
+                f"# compact: cand_sel did NOT attach for {name} "
+                f"(R={int(block['num'].sum())} of {B * N} rows)",
+                file=sys.stderr,
+            )
     q, ocr, od = (
         {k: jnp.asarray(v) for k, v in t.items()} for t in (q, ocr, od)
     )

@@ -276,10 +276,15 @@ class RUArtModel(nn.Module):
         names: Tuple[str, ...],
         initial: str,
         deterministic: bool,
+        word_vecs: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Assemble the concatenated embedding (`SDNet.py:439-493`). Returns
         (embedding, extras) where extras carries the raw word-vector
-        embedding used by pre-align / deep attention."""
+        embedding used by pre-align / deep attention. ``word_vecs``
+        optionally supplies the priority word-vector embedding (fasttext if
+        present else glove) precomputed by the caller — the compact path
+        already embedded the full grid for pre-align and passes the
+        gathered rows here instead of paying the lookup twice."""
         s = self.spec
         embs = []
         extras: Dict[str, jax.Array] = {}
@@ -290,11 +295,17 @@ class RUArtModel(nn.Module):
         if "phoc" in names:
             embs.append(drop(self.phoc_embed(item["phoc"])))
         if "fasttext" in names:
-            fast = self.fast_embed(item["fasttext"])
+            fast = (
+                word_vecs if word_vecs is not None
+                else self.fast_embed(item["fasttext"])
+            )
             extras["word_emb"] = fast  # fasttext-if-present priority
             embs.append(drop(fast))
         if "glove" in names:
-            glove = self.glove_embed(item["glove"])
+            if word_vecs is not None and "fasttext" not in names:
+                glove = word_vecs
+            else:
+                glove = self.glove_embed(item["glove"])
             extras.setdefault("word_emb", glove)
             embs.append(drop(glove))
         if "bert" in names or "bert_only" in names:
@@ -368,8 +379,16 @@ class RUArtModel(nn.Module):
                 k: (v if k in GLOBAL else jnp.take(v, sel, axis=0))
                 for k, v in flat.items()
             }
+            # reuse the full-grid word embedding (gathered) only when
+            # pre-align materialized it anyway; with pre-align off the
+            # full-grid lookup is dead code XLA removes, and _embed's own
+            # gathered-rows lookup is the cheaper one
             emb, _ = self._embed(
-                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic,
+                word_vecs=(
+                    jnp.take(word_emb, sel, axis=0)
+                    if attended is not None else None
+                ),
             )
             if attended is not None:
                 emb = jnp.concatenate(

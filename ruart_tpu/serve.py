@@ -240,11 +240,15 @@ class InferenceEngine:
         product — so no live request ever pays a compile. The full cross
         product matters: each block independently falls back to dense when
         its uniques overflow its cap, and every bucket axis varies per
-        batch. The product is bounded by the conf ladders but multiplies
-        quickly; ``max_programs`` truncates it (logged — later signatures
-        then compile lazily, amortized by the persistent compile cache).
-        For a tighter set, use :meth:`warmup_calibrated` with a sample of
-        real traffic. Returns the number of programs compiled."""
+        batch. The product is bounded by the conf ladders (and the
+        cand_sel axis is pruned to the lengths actually reachable in each
+        num bucket) but still multiplies quickly; ``max_programs``
+        truncates it (logged — later signatures then compile lazily,
+        amortized by the persistent compile cache). PREFER
+        :meth:`warmup_calibrated` with a sample of real traffic — it warms
+        exactly the observed signatures plus every fallback variant, and
+        is the recommended mode for production. Returns the number of
+        programs compiled."""
         import itertools
         import logging
 
@@ -284,10 +288,24 @@ class InferenceEngine:
             )
             ocr_opts = dedup_opts(n_bucket, l_bucket)
             od_opts = dedup_opts(od["bert"].shape[1], od["bert"].shape[2])
-            # candidate-compaction axis: None (dense grid) plus every
-            # cand_sel ladder length for each block
-            ocr_sels = (None,) + coll.compact_sizes(B, n_bucket)
-            od_sels = (None,) + coll.compact_sizes(B, od["bert"].shape[1])
+
+            # candidate-compaction axis: None (dense grid) plus the
+            # cand_sel ladder lengths REACHABLE in this num bucket — every
+            # sample contributes >= 1 real row (the sentinel candidate) and
+            # at least one sample's count exceeds the previous num bucket
+            # (else the collator would have picked that bucket), so real
+            # rows >= B + prev_bucket and smaller ladder entries can never
+            # be chosen (cand_sel pads to the smallest entry >= real rows)
+            def plausible_sels(nb: int, buckets) -> tuple:
+                prev = max((x for x in buckets if x < nb), default=0)
+                r_min = B + prev
+                return (None,) + tuple(
+                    s for s in coll.compact_sizes(B, nb) if s >= r_min
+                )
+
+            ocr_sels = plausible_sels(n_bucket, coll.ocr_num_buckets)
+            od_n = od["bert"].shape[1]
+            od_sels = plausible_sels(od_n, (od_n,))
             for opt_ocr, opt_od, sel_ocr, sel_od in itertools.product(
                 ocr_opts, od_opts, ocr_sels, od_sels
             ):
@@ -343,40 +361,72 @@ class InferenceEngine:
 
     def warmup_calibrated(self, samples: Sequence[Dict[str, Any]]) -> int:
         """Precompile exactly the signatures a calibration sample of real
-        traffic produces, plus the all-caps dense fallback every overflow
-        lands on — a small, representative alternative to the full
-        :meth:`warmup` cross product. Returns programs compiled."""
+        traffic produces, plus every fallback a live batch can land on:
+        the dedup-stripped, compaction-stripped, and both-stripped variants
+        of each observed signature (a live batch that overflows the dedup
+        cap or the top cand_sel ladder bucket drops those keys — without
+        these a single hot request pays a multi-minute live compile), and
+        the next-larger cand_sel bucket (a slightly fuller batch shifts
+        buckets). This is the RECOMMENDED warmup mode; the full
+        :meth:`warmup` cross product multiplies with every ladder axis.
+        Returns programs compiled."""
         from ruart_tpu.data.synthetic import make_synthetic_batch
 
         seen = set()
         count = 0
+
+        def run(qq, oo, dd):
+            nonlocal count
+            sig = tuple(
+                (k, v.shape)
+                for t in (qq, oo, dd)
+                for k, v in sorted(t.items())
+            )
+            if sig in seen:
+                return
+            seen.add(sig)
+            self.eval_step(self.params, qq, oo, dd, None)
+            count += 1
+
+        def strip(block, keys):
+            return {k: v for k, v in block.items() if k not in keys}
+
+        def bump_sel(block):
+            """The block with cand_sel padded to the next-larger ladder
+            bucket (None when absent or already at the top)."""
+            if "cand_sel" not in block:
+                return None
+            B, N = block["bert"].shape[:2]
+            bigger = [
+                s for s in self.collator.compact_sizes(B, N)
+                if s > block["cand_sel"].shape[0]
+            ]
+            if not bigger:
+                return None
+            out = dict(block)
+            sel = np.full(bigger[0], B * N, np.int32)
+            sel[: block["cand_sel"].shape[0]] = np.asarray(block["cand_sel"])
+            out["cand_sel"] = sel
+            return out
+
         for _, _, (q, ocr, od, _gt, _extra) in self._collated_batches(samples):
-            # the observed signature, plus its dense-fallback variant (a
-            # live dedup-cap overflow keeps the batch's other buckets but
-            # drops the unique tables)
-            dense_ocr = {k: v for k, v in ocr.items() if k not in DEDUP_KEYS}
-            dense_od = {k: v for k, v in od.items() if k not in DEDUP_KEYS}
-            for qq, oo, dd in ((q, ocr, od), (q, dense_ocr, dense_od)):
-                sig = tuple(
-                    (k, v.shape)
-                    for t in (qq, oo, dd)
-                    for k, v in sorted(t.items())
-                )
-                if sig in seen:
-                    continue
-                seen.add(sig)
-                self.eval_step(self.params, qq, oo, dd, None)
-                count += 1
-        # the panic program: conf caps, no dedup (an overflow on every
-        # axis at once lands here)
+            for ks in ((), DEDUP_KEYS, COMPACT_KEYS, DEDUP_KEYS + COMPACT_KEYS):
+                oo, dd = strip(ocr, ks), strip(od, ks)
+                run(q, oo, dd)
+                bo, bd = bump_sel(oo), bump_sel(dd)
+                if bo is not None or bd is not None:
+                    run(q, bo if bo is not None else oo,
+                        bd if bd is not None else dd)
+        # the panic program: conf caps, dense grid, no dedup/compaction (an
+        # overflow on every axis at once lands here)
         q, ocr, od, _ = make_synthetic_batch(
             self.spec, self.cfg, self.batch_size, seed=0
         )
         for block in (ocr, od):
-            for k in DEDUP_KEYS:
+            for k in DEDUP_KEYS + COMPACT_KEYS:
                 block.pop(k, None)
-        self.eval_step(self.params, q, ocr, od, None)
-        return count + 1
+        run(q, ocr, od)
+        return count
 
     # -- constructors ----------------------------------------------------
     @classmethod

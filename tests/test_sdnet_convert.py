@@ -57,3 +57,31 @@ def test_key_intersection_tolerance(shipped_conf_opt):
     init_flat = flatten_tree(params["params"])
     for k in converted:
         assert k in init_flat
+
+
+def test_dead_final_att_params_ignored(shipped_conf_opt):
+    """A final_att checkpoint carries trainable params for the reference's
+    image_feature_model, whose output is discarded (every use commented
+    out, `SDNet.py:424-426`) — the converter must drop them and the merged
+    tree must still compute identically (docs/PARITY.md deviation row)."""
+    cfg, spec, (q, ocr, od, gt), model, params = tiny_model_and_params(
+        shipped_conf_opt
+    )
+    base = np.asarray(model.apply(params, q, ocr, od))
+    torch_state = params_to_torch_state(params)
+    # the dead modules a final_att checkpoint would carry
+    torch_state["image_feature_model.linear.weight"] = np.zeros(
+        (8, 4), np.float32
+    )
+    torch_state["image_feature_model.linear.bias"] = np.zeros(8, np.float32)
+    torch_state["ocr_final_model.linear.weight"] = np.zeros((8, 4), np.float32)
+    converted = convert_sdnet_state_dict(torch_state)
+    init_flat = flatten_tree(params["params"])
+    merged = dict(init_flat)
+    for k, v in converted.items():
+        if k in init_flat and init_flat[k].shape == np.asarray(v).shape:
+            merged[k] = np.asarray(v)
+    out = np.asarray(
+        model.apply({"params": unflatten_tree(merged)}, q, ocr, od)
+    )
+    np.testing.assert_allclose(out, base, atol=1e-6)
