@@ -35,7 +35,7 @@ else:
 # every batch key the dedup/packing paths can attach to a candidate block
 # (serve-time dense fallbacks strip exactly this set)
 DEDUP_KEYS = (
-    "bert_unique", "bert_inverse",
+    "bert_unique", "bert_inverse", "bert_unique_offsets",
     "bert_packed", "bert_packed_seg", "bert_packed_pos", "bert_unpack",
 )
 
@@ -511,8 +511,16 @@ class Collator:
         )
 
     def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
-        """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] when
-        the batch's unique piece-id rows fit the configured cap."""
+        """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] +
+        bert_unique_offsets [cap-bucket, W, 2] when the batch's unique rows
+        fit the configured cap.
+
+        The dedup key is the JOINT (piece ids, word offsets) row: the model
+        pools wordpiece spans into word vectors ON THE UNIQUE TABLE and
+        expands the (much smaller) pooled word rows to candidates — exact
+        only when rows sharing an encoder row also share word spans. In
+        practice duplicates are repeated *strings* (same tokenization, same
+        spans), so the joint key costs ~no unique-count inflation."""
         cap = self.dedup_cap(B, max_num)
         if cap >= B * max_num and self.dedup_frac < 1.0:
             # the 64-row-aligned cap is no smaller than the dense batch at
@@ -522,7 +530,18 @@ class Collator:
             # part of this path
             return
         flat = out["bert"].reshape(B * max_num, max_bert_len)
-        unique, inverse = unique_rows(flat)
+        if "bert_offsets" in out:
+            offs_flat = out["bert_offsets"].reshape(B * max_num, -1)
+            joint = np.concatenate([flat, offs_flat], axis=1)
+            unique_joint, inverse = unique_rows(joint)
+            unique = np.ascontiguousarray(unique_joint[:, :max_bert_len])
+            unique_offs = unique_joint[:, max_bert_len:]
+        else:
+            # pieces-only key (no offsets in this block): the model then
+            # expands the unique ENCODER rows before pooling instead of
+            # pooling on the unique table
+            unique, inverse = unique_rows(flat)
+            unique_offs = None
         if unique.shape[0] > cap:
             # fallback: model uses the dense path (separate compiled
             # program; frequent flips between the two waste compile time)
@@ -549,6 +568,11 @@ class Collator:
         else:
             pad = np.zeros((size - unique.shape[0], lsz), dtype=np.int32)
             out["bert_unique"] = np.concatenate([unique.astype(np.int32), pad])
+        if unique_offs is not None:
+            k = unique_offs.shape[0]
+            uo = np.zeros((size, unique_offs.shape[1]), dtype=np.int32)
+            uo[:k] = unique_offs
+            out["bert_unique_offsets"] = uo.reshape(size, -1, 2)
         out["bert_inverse"] = inverse.reshape(B, max_num).astype(np.int32)
 
     def pack_row_ladder(self, size: int) -> Tuple[int, ...]:

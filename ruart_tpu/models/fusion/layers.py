@@ -106,7 +106,12 @@ class AttentionScore(nn.Module):
     variational: bool = True
 
     @nn.compact
-    def __call__(self, x1, x2, deterministic: bool = True):
+    def __call__(self, x1, x2, deterministic: bool = True, x2_row_index=None):
+        """``x2_row_index`` [R] maps each x1 row to its x2 batch row: x1 is
+        [R, Lx, D] gathered rows (e.g. compacted candidates), x2 stays
+        [B, Ly, D] and is PROJECTED ONCE at batch granularity before the
+        per-row gather — same math per row as the batch layout without
+        recomputing the x2 projection per gathered row."""
         cf = self.correlation_func
         x1 = dropout_fn(self, x1, self.dropout_p, self.variational, deterministic)
         x2 = dropout_fn(self, x2, self.dropout_p, self.variational, deterministic)
@@ -134,6 +139,8 @@ class AttentionScore(nn.Module):
             x2r = jax.nn.relu(linear(x2))
         else:
             x1r, x2r = x1, x2
+        if x2_row_index is not None:
+            x2r = jnp.take(x2r, x2_row_index, axis=0)
         return jnp.einsum(
             "bid,bjd->bij", x1r, x2r, preferred_element_type=jnp.float32
         )
@@ -158,7 +165,11 @@ class Attention(nn.Module):
         drop_diagonal: bool = False,
         deterministic: bool = True,
         return_score: bool = False,
+        x2_row_index=None,
     ):
+        """With ``x2_row_index`` [R], x1 is [R, Lx, D] gathered rows while
+        x2/x2_mask/x3 stay batch-shaped [B, ...]: row r attends to batch row
+        x2_row_index[r] (see AttentionScore)."""
         if x3 is None:
             x3 = x2
         scores = AttentionScore(
@@ -168,7 +179,10 @@ class Attention(nn.Module):
             self.dropout_p,
             self.variational,
             name="scoring",
-        )(x1, x2, deterministic)
+        )(x1, x2, deterministic, x2_row_index=x2_row_index)
+        if x2_row_index is not None:
+            x2_mask = jnp.take(x2_mask, x2_row_index, axis=0)
+            x3 = jnp.take(x3, x2_row_index, axis=0)
         mask = x2_mask.astype(bool)[:, None, :]
         scores = jnp.where(mask, scores, NEG_INF)
         if drop_diagonal:

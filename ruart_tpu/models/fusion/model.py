@@ -251,19 +251,40 @@ class RUArtModel(nn.Module):
             if s.lock_bert:
                 all_layers = jax.lax.stop_gradient(all_layers)
             combined = all_layers[-1]
-        if packed:
-            # scatter packed tokens back to per-candidate local rows:
-            # unpack [cap, Lw] holds each unique row's flat token positions
-            # in the packed grid; compose with the duplicate-expansion
-            # gather in ONE indexed take (pad entries point at token 0 —
-            # finite garbage that pooling weights never read)
-            R, Lp, D = combined.shape
-            flat_tokens = combined.reshape(R * Lp, D)
-            idx = jnp.take(item["bert_unpack"], item["bert_inverse"], axis=0)
-            combined = jnp.take(flat_tokens, idx, axis=0)   # [B*N, Lw, D]
-        elif dedup:
-            combined = jnp.take(combined, item["bert_inverse"], axis=0)
-        pooled = subword_to_word_pooling(combined, item["bert_offsets"], word_mask)
+        pool_uniques = (packed or dedup) and "bert_unique_offsets" in item
+        if pool_uniques:
+            # pool-before-expand: the dedup key is the joint (pieces,
+            # offsets) row (Collator._add_dedup), so word spans are well-
+            # defined per UNIQUE row — pool subwords on the unique table
+            # and expand the pooled [U, W, D] words to candidates, instead
+            # of materializing the full [B*N, Lb, D] piece grid first. The
+            # word mask is a per-(row, word) 0/1 scalar on the pooled
+            # vector, so applying it AFTER the expand is exact.
+            if packed:
+                R, Lp, D = combined.shape
+                flat_tokens = combined.reshape(R * Lp, D)
+                combined = jnp.take(flat_tokens, item["bert_unpack"], axis=0)
+            uo = item["bert_unique_offsets"]
+            ones = jnp.ones(uo.shape[:2], dtype=jnp.float32)
+            pooled_u = subword_to_word_pooling(combined, uo, ones)
+            pooled = jnp.take(pooled_u, item["bert_inverse"], axis=0)
+            pooled = pooled * word_mask[..., None]
+        else:
+            if packed:
+                # scatter packed tokens back to per-candidate local rows:
+                # unpack [cap, Lw] holds each unique row's flat token
+                # positions in the packed grid; compose with the duplicate-
+                # expansion gather in ONE indexed take (pad entries point at
+                # token 0 — finite garbage pooling weights never read)
+                R, Lp, D = combined.shape
+                flat_tokens = combined.reshape(R * Lp, D)
+                idx = jnp.take(item["bert_unpack"], item["bert_inverse"], axis=0)
+                combined = jnp.take(flat_tokens, idx, axis=0)   # [B*N, Lw, D]
+            elif dedup:
+                combined = jnp.take(combined, item["bert_inverse"], axis=0)
+            pooled = subword_to_word_pooling(
+                combined, item["bert_offsets"], word_mask
+            )
         if s.bert_linear_combine:
             pooled = dropout_fn(
                 self, pooled, s.dropout_emb, s.variational, deterministic
@@ -276,15 +297,10 @@ class RUArtModel(nn.Module):
         names: Tuple[str, ...],
         initial: str,
         deterministic: bool,
-        word_vecs: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Assemble the concatenated embedding (`SDNet.py:439-493`). Returns
         (embedding, extras) where extras carries the raw word-vector
-        embedding used by pre-align / deep attention. ``word_vecs``
-        optionally supplies the priority word-vector embedding (fasttext if
-        present else glove) precomputed by the caller — the compact path
-        already embedded the full grid for pre-align and passes the
-        gathered rows here instead of paying the lookup twice."""
+        embedding used by pre-align / deep attention."""
         s = self.spec
         embs = []
         extras: Dict[str, jax.Array] = {}
@@ -295,17 +311,11 @@ class RUArtModel(nn.Module):
         if "phoc" in names:
             embs.append(drop(self.phoc_embed(item["phoc"])))
         if "fasttext" in names:
-            fast = (
-                word_vecs if word_vecs is not None
-                else self.fast_embed(item["fasttext"])
-            )
+            fast = self.fast_embed(item["fasttext"])
             extras["word_emb"] = fast  # fasttext-if-present priority
             embs.append(drop(fast))
         if "glove" in names:
-            if word_vecs is not None and "fasttext" not in names:
-                glove = word_vecs
-            else:
-                glove = self.glove_embed(item["glove"])
+            glove = self.glove_embed(item["glove"])
             extras.setdefault("word_emb", glove)
             embs.append(drop(glove))
         if "bert" in names or "bert_only" in names:
@@ -324,11 +334,10 @@ class RUArtModel(nn.Module):
         q_word_emb: jax.Array,
         q_word_mask: jax.Array,
         deterministic: bool,
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, jax.Array]:
         """Token-level embed + pre-align + multi2one -> candidate vectors.
 
-        Returns (cand_feat [B, N, multi2one_out], cand_mask [B, N],
-        word_emb [B, N, L, vocab_dim])."""
+        Returns (cand_feat [B, N, multi2one_out], cand_mask [B, N])."""
         s = self.spec
         B, N, L = item["fasttext" if s.use_fasttext else "glove"].shape[:3]
         # bert_unique / the packed-table tensors are batch-global, cand_sel
@@ -336,7 +345,8 @@ class RUArtModel(nn.Module):
         # per-candidate to [B*N, ...]
         GLOBAL = (
             "bert_unique", "bert_packed", "bert_packed_seg",
-            "bert_packed_pos", "bert_unpack", "cand_sel",
+            "bert_packed_pos", "bert_unpack", "bert_unique_offsets",
+            "cand_sel",
         )
         flat = {
             k: (v if k in GLOBAL else _flatten_cand(v))
@@ -362,38 +372,30 @@ class RUArtModel(nn.Module):
             # just accumulates zeros)
             valid = (sel < B * N)
             sel = jnp.minimum(sel, B * N - 1)
-            word_key = "fasttext" if "fasttext" in s.ocr_embedding else "glove"
-            embed_mod = (
-                self.fast_embed if word_key == "fasttext" else self.glove_embed
-            )
-            word_emb = embed_mod(flat[word_key])                 # [B*N, L, 300]
-            attended = None
-            if s.pre_align and s.pre_align_before_rnn:
-                tok_mask = self._mask_by_membership(flat, s.ocr_embedding)
-                tokens = word_emb.reshape(B, N * L, -1)
-                attended = self.pre_align(
-                    tokens, q_word_emb, q_word_mask, deterministic=deterministic
-                )
-                attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
             flat = {
                 k: (v if k in GLOBAL else jnp.take(v, sel, axis=0))
                 for k, v in flat.items()
             }
-            # reuse the full-grid word embedding (gathered) only when
-            # pre-align materialized it anyway; with pre-align off the
-            # full-grid lookup is dead code XLA removes, and _embed's own
-            # gathered-rows lookup is the cheaper one
-            emb, _ = self._embed(
-                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic,
-                word_vecs=(
-                    jnp.take(word_emb, sel, axis=0)
-                    if attended is not None else None
-                ),
+            emb, extras = self._embed(
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
             )
-            if attended is not None:
-                emb = jnp.concatenate(
-                    [emb, jnp.take(attended, sel, axis=0)], axis=-1
+            if s.pre_align and s.pre_align_before_rnn:
+                # per-question attend expressed on the GATHERED rows: the
+                # question-side projection runs once at [B, Lq] and each
+                # row r gathers its question's projected keys/values via
+                # x2_row_index = sel[r] // N — no full-grid [B, N*L]
+                # layout. Pad rows compute finite garbage attention that
+                # the `valid` scaling below zeroes. (Training note: the
+                # variational dropout mask on the token side is per
+                # gathered ROW here vs per question in the dense layout —
+                # both valid dropout, deterministic path identical.)
+                tok_mask = self._mask_by_membership(flat, s.ocr_embedding)
+                attended = self.pre_align(
+                    extras["word_emb"], q_word_emb, q_word_mask,
+                    deterministic=deterministic, x2_row_index=sel // N,
                 )
+                attended = attended * tok_mask[..., None]
+                emb = jnp.concatenate([emb, attended], axis=-1)
             m2o = self.multi2one(emb, deterministic=deterministic)
             last = gather_last_state(m2o, flat["len"])           # [R_cap, H]
             last = last * valid[:, None].astype(last.dtype)
@@ -426,7 +428,7 @@ class RUArtModel(nn.Module):
             jnp.arange(N, dtype=jnp.int32)[None, :] < item["num"][:, None]
         ).astype(jnp.float32)
         cand = cand * cand_mask[..., None]
-        return cand, cand_mask, word_emb.reshape(B, N, L, -1)
+        return cand, cand_mask
 
     # ------------------------------------------------------------------
     def __call__(
@@ -444,7 +446,7 @@ class RUArtModel(nn.Module):
         q_mask = self._word_mask(q, s.q_emb_initial)
 
         # --- candidate encoding ---------------------------------------
-        ocr_input, ocr_mask, _ = self._encode_candidates(
+        ocr_input, ocr_mask = self._encode_candidates(
             ocr, q_word_emb, q_mask, deterministic
         )
         ocr_position = ocr["position"]
@@ -460,7 +462,7 @@ class RUArtModel(nn.Module):
             od_mask = jnp.zeros((B, M), dtype=jnp.float32)
             od_position = od["position"]
         else:
-            od_input, od_mask, _ = self._encode_candidates(
+            od_input, od_mask = self._encode_candidates(
                 od, q_word_emb, q_mask, deterministic
             )
             od_position = od["position"]

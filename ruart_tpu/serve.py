@@ -334,6 +334,14 @@ class InferenceEngine:
                     size, lsz = opt_rl[:2]
                     Bb, N, Lb = block["bert"].shape
                     block["bert_inverse"] = np.zeros((Bb, N), np.int32)
+                    # the collator's joint (pieces, offsets) dedup key emits
+                    # per-unique word spans; real batches always carry this
+                    # key alongside the table, so the compiled signature
+                    # must too (zeros: only shapes matter to the compile)
+                    W = block["bert_offsets"].shape[2]
+                    block["bert_unique_offsets"] = np.zeros(
+                        (size, W, 2), np.int32
+                    )
                     if len(opt_rl) == 3:
                         # packed signature: only shapes matter to the
                         # compile; one max-width segment per row

@@ -303,3 +303,62 @@ def test_collate_id_key_identity_fallback(shipped_conf_opt):
     np.testing.assert_array_equal(
         out2[1]["fasttext"][mask], aliased[1]["fasttext"][mask] + 1
     )
+
+
+def test_dedup_joint_key_pools_on_uniques(shipped_conf_opt):
+    """Pool-before-expand: with bert_offsets present the dedup key is the
+    JOINT (pieces, offsets) row and the collator emits bert_unique_offsets;
+    two candidates sharing a piece row but with DIFFERENT word spans must
+    land in different unique rows (pooling happens on the unique table),
+    and the full model must still match the dense path exactly."""
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    spec = ModelSpec.from_config(cfg, BertConfig.tiny(vocab_size=64))
+    q, ocr, od, _ = make_synthetic_batch(spec, cfg, 2, seed=0)
+
+    # candidates 1..3 duplicate candidate 0's strings; candidate 4 shares
+    # candidate 0's PIECES but splits them differently into words
+    for k in ("fasttext", "glove", "pos", "ent", "bert", "bert_offsets"):
+        ocr[k][:, 1:4] = ocr[k][:, 0:1]
+    ocr["len"][:, 1:4] = ocr["len"][:, 0:1]
+    ocr["bert"][:, 4] = ocr["bert"][:, 0]
+    off = ocr["bert_offsets"]
+    off[:, 4] = off[:, 0]
+    # change the first word's span width (guaranteed different, still valid)
+    st4, ed4 = off[:, 4, 0, 0], off[:, 4, 0, 1]
+    off[:, 4, 0, 1] = np.where(ed4 - st4 >= 2, st4 + 1, st4 + 2)
+    ocr["bert_mask"] = (ocr["bert"] != 0).astype(np.int32)
+
+    model = RUArtModel(spec)
+    jq, jocr, jod = (jax.tree.map(jnp.asarray, t) for t in (q, ocr, od))
+    params = model.init(jax.random.PRNGKey(0), jq, jocr, jod)
+    dense = np.asarray(model.apply(params, jq, jocr, jod))
+
+    coll = Collator(Config({**opt, "bert_dedup_frac": 1.0, "bert_pack": 0}))
+    B, N, Lb = ocr["bert"].shape
+    out = {
+        "bert": ocr["bert"],
+        "bert_mask": ocr["bert_mask"],
+        "bert_offsets": ocr["bert_offsets"],
+    }
+    coll._add_dedup(out, B, N, Lb)
+    assert "bert_unique" in out and "bert_unique_offsets" in out
+    inv = out["bert_inverse"]
+    # duplicates share a row; the differently-split candidate does NOT
+    assert (inv[:, 1:4] == inv[:, 0:1]).all()
+    assert (inv[:, 4] != inv[:, 0]).all()
+    # each candidate's offsets are reconstructable from the unique table
+    W = ocr["bert_offsets"].shape[2]
+    rec = out["bert_unique_offsets"][inv.reshape(-1)][:, :W]
+    np.testing.assert_array_equal(
+        rec.reshape(ocr["bert_offsets"].shape), ocr["bert_offsets"]
+    )
+
+    ocr_d = dict(ocr)
+    for k in ("bert_unique", "bert_inverse", "bert_unique_offsets"):
+        ocr_d[k] = out[k]
+    deduped = np.asarray(
+        model.apply(params, jq, jax.tree.map(jnp.asarray, ocr_d), jod)
+    )
+    np.testing.assert_allclose(deduped, dense, atol=2e-5)
