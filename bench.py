@@ -246,10 +246,20 @@ from bench import build_flagship, measure
 def run(pack):
     fn, params, batch = build_flagship(
         batch_size={bs}, dtype={dt!r}, pack=pack)
+    # log the attached artifact shapes so a bench number can be attributed
+    # to its exact program signature (bucket picks, dedup fallbacks and
+    # compaction state all change the compiled program; a profiler A/B must
+    # match these to be comparable)
+    q, ocr, od = batch
+    for name, blk in (("ocr", ocr), ("od", od)):
+        sig = {{
+            k: tuple(v.shape) for k, v in sorted(blk.items())
+            if k.startswith("bert_") or k == "cand_sel"
+        }}
+        print(f"# {{name}} signature: {{sig}}", file=sys.stderr)
     qps = measure(fn, params, batch, iters=8, warmup=2)
     tflops = None
     try:
-        q, ocr, od = batch
         # fn is already jitted: lowering it again hits the in-process trace
         # cache and the persistent compile cache (a fresh jit wrapper would
         # recompile the whole program just for the cost model)
@@ -357,6 +367,17 @@ import jax.numpy as jnp
 q, ocr, od = ({{k: jnp.asarray(v) for k, v in t.items()}} for t in (q, ocr, od))
 gt = jnp.asarray(gt)
 state = init_train_state(params, tx, 0)
+tflops_per_step = None
+try:
+    # XLA's own cost model for the fused fwd+bwd+Adamax program: the
+    # train-side counterpart of the device mode's MFU so training perf is
+    # held to the same roofline standard as eval
+    ca = step.lower(state, q, ocr, od, gt).compile().cost_analysis()
+    flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
+    if flops > 0:
+        tflops_per_step = flops / 1e12
+except Exception as e:
+    print("# train cost_analysis failed:", e, file=sys.stderr)
 for _ in range(3):
     state, loss = step(state, q, ocr, od, gt)
 float(loss)
@@ -367,8 +388,10 @@ for _ in range(iters):
 lv = float(loss)
 dt = time.perf_counter() - t0
 assert np.isfinite(lv)
-print("RESULT=" + json.dumps(
-    {{"step_ms": dt / iters * 1e3, "qps": BS * iters / dt}}))
+out = {{"step_ms": dt / iters * 1e3, "qps": BS * iters / dt}}
+if tflops_per_step:
+    out["tflops"] = tflops_per_step / (dt / iters)
+print("RESULT=" + json.dumps(out))
 """
 
 
@@ -425,6 +448,9 @@ def main():
     baseline = get_baseline()
     sys.path.insert(0, REPO)
     out = {"metric": "questions_per_sec", "unit": "q/s"}
+    # all host-path numbers (e2e/serve) are bound by this machine's core
+    # count — real TPU hosts have dozens (the num_worker pool scales there)
+    out["host_cores"] = os.cpu_count()
 
     # the axon tunnel can be down for an hour+: probe cheaply, wait a
     # little, then fall back to an honest (labeled) CPU measurement at
@@ -486,6 +512,24 @@ def main():
     if train:
         out["train_step_ms"] = round(train["step_ms"], 2)
         out["train_qps"] = round(train["qps"], 3)
+
+    # flagship-batch train step (the throughput shape): train-side TFLOP/s
+    # + MFU against the same rooflines as the eval path
+    if not cpu:
+        train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=pack)
+        if train_big is None and pack:
+            train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=0)
+        if train_big:
+            out["train256_step_ms"] = round(train_big["step_ms"], 2)
+            out["train256_qps"] = round(train_big["qps"], 3)
+            if "tflops" in train_big:
+                out["train_tflops"] = round(train_big["tflops"], 2)
+                out["train_mfu"] = round(
+                    train_big["tflops"] / ROOFLINE_TFLOPS, 4
+                )
+                out["train_mfu_vs_peak"] = round(
+                    train_big["tflops"] / PEAK_TFLOPS, 4
+                )
 
     # headline: the end-to-end offline-scoring number (host pipeline
     # included); device-only is the fallback if the e2e mode failed

@@ -8,6 +8,8 @@ transfer with device compute — the standard TPU input-pipeline shape.
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -19,6 +21,25 @@ from ruart_tpu.data.collate import Collator
 from ruart_tpu.data.dataset import VQADataset
 from ruart_tpu.data.sampler import VQASampler
 
+# fork-inherited dataset for the `num_worker` process pool: set in the
+# parent immediately before Pool() forks, so workers get the dataset by
+# copy-on-write page sharing instead of a pickled copy each (the reference's
+# torch DataLoader workers do the same, `SDNetTrainer.py:100-106`).
+_FORK_DATASET: Optional[VQADataset] = None
+
+
+def _fork_build_items(idx_chunk):
+    ds = _FORK_DATASET
+    return [ds[i] for i in idx_chunk]
+
+
+def _chunk(seq, n: int):
+    """Split ``seq`` into <= n contiguous chunks of near-equal size."""
+    seq = list(seq)
+    n = max(1, min(n, len(seq)))
+    step = -(-len(seq) // n)
+    return [seq[i: i + step] for i in range(0, len(seq), step)]
+
 
 def batch_iterator(
     dataset: VQADataset,
@@ -26,8 +47,22 @@ def batch_iterator(
     collator: Collator,
     num_workers: int = 0,
 ):
-    """Yield collated numpy batches for each sampler index batch."""
-    if num_workers and num_workers > 0:
+    """Yield collated numpy batches for each sampler index batch.
+
+    ``num_workers > 0`` (the reference's ``num_worker`` conf key) builds
+    items in a fork-based PROCESS pool with one-batch lookahead — batch
+    k+1's items build in the workers while the parent collates batch k and
+    the device runs. Item building is pure python/numpy over preprocessed
+    data (deterministic, side-effect-free aside from value-transparent
+    caches), so worker-built items are exactly the serial ones
+    (parity-pinned in tests/test_data.py). Falls back to an in-process
+    thread pool when fork is unavailable."""
+    if not num_workers or num_workers <= 0:
+        for idx_batch in sampler:
+            yield collator([dataset[i] for i in idx_batch])
+        return
+
+    if "fork" not in multiprocessing.get_all_start_methods():
         pool = ThreadPoolExecutor(max_workers=num_workers)
         try:
             for idx_batch in sampler:
@@ -35,9 +70,31 @@ def batch_iterator(
                 yield collator(items)
         finally:
             pool.shutdown(wait=False)
-    else:
-        for idx_batch in sampler:
-            yield collator([dataset[i] for i in idx_batch])
+        return
+
+    global _FORK_DATASET
+    ctx = multiprocessing.get_context("fork")
+    prev, _FORK_DATASET = _FORK_DATASET, dataset
+    pool = ctx.Pool(processes=num_workers)
+    _FORK_DATASET = prev  # workers already forked with the dataset
+    try:
+        it = iter(sampler)
+        nxt = next(it, None)
+        pending = (
+            pool.map_async(_fork_build_items, _chunk(nxt, num_workers))
+            if nxt is not None else None
+        )
+        while pending is not None:
+            chunks = pending.get()
+            nxt = next(it, None)
+            pending = (
+                pool.map_async(_fork_build_items, _chunk(nxt, num_workers))
+                if nxt is not None else None
+            )
+            yield collator([item for part in chunks for item in part])
+    finally:
+        pool.terminate()
+        pool.join()
 
 
 def prefetch(

@@ -69,12 +69,17 @@ def evaluate(
         nonlocal anls_sum, acc_sum, loss_sum, n_batches
         scores, loss, num, extra = pending
         if multiprocess:
-            # scores are a dp-sharded global array (rows on other hosts are
-            # not addressable here); gather so every host decodes the full
-            # batch — extra/metadata is already host-global by design
+            # scores/num are dp-sharded global arrays (rows on other hosts
+            # are not addressable here); gather so every host decodes the
+            # full batch — extra/metadata is already host-global by design
             from jax.experimental import multihost_utils
 
-            probs = np.asarray(multihost_utils.process_allgather(scores))
+            probs = np.asarray(
+                multihost_utils.process_allgather(scores, tiled=True)
+            )
+            num = np.asarray(
+                multihost_utils.process_allgather(num, tiled=True)
+            )
         else:
             probs = np.asarray(scores)
         _res, _save, _anls, _acc = decode_batch(

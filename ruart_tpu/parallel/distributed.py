@@ -116,13 +116,24 @@ def make_hybrid_mesh(tp: int = 1, devices: Optional[Sequence] = None):
     (ici_dp, tp_dim), (dcn_dp, _one) = hybrid_mesh_shape(
         len(devices), n_hosts, tp
     )
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_dp, tp_dim),
-        dcn_mesh_shape=(dcn_dp, 1),
-        devices=devices,
-    )
-    # hybrid shape is (dcn_dp * ici_dp, tp); flatten host-major dp
-    arr = np.asarray(arr).reshape(dcn_dp * ici_dp, tp_dim)
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_dp, tp_dim),
+            dcn_mesh_shape=(dcn_dp, 1),
+            devices=devices,
+        )
+        # hybrid shape is (dcn_dp * ici_dp, tp); flatten host-major dp
+        arr = np.asarray(arr).reshape(dcn_dp * ici_dp, tp_dim)
+    except ValueError:
+        # devices without slice topology (e.g. multi-process virtual CPU
+        # meshes: every device reports the same slice): build the same
+        # host-major layout by hand — dp index = host * ici_dp + local_dp,
+        # tp contiguous within a host
+        devs = sorted(
+            devices,
+            key=lambda d: (getattr(d, "process_index", 0), d.id),
+        )
+        arr = np.asarray(devs).reshape(dcn_dp * ici_dp, tp_dim)
     return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
@@ -145,7 +156,12 @@ def process_batch_slice(
     return slice(r * per, (r + 1) * per)
 
 
-def make_global_batch(local_tree: Any, mesh, n_global: Optional[int] = None):
+def make_global_batch(
+    local_tree: Any,
+    mesh,
+    n_global: Optional[int] = None,
+    replicated_keys: Sequence[str] = (),
+):
     """Assemble global device arrays from THIS host's local batch shard.
 
     Every leaf's dim 0 is the batch axis: the local array is this host's
@@ -155,6 +171,11 @@ def make_global_batch(local_tree: Any, mesh, n_global: Optional[int] = None):
     materializes the full global batch on device. ``n_global`` defaults to
     ``local_rows * process_count`` per leaf. Single-process this is exactly
     ``device_put(x, NamedSharding(mesh, P('dp')))``.
+
+    ``replicated_keys`` names dict keys whose leaves are BATCH-GLOBAL
+    tensors (dedup/pack tables, cand_sel): every host collated the same
+    global batch, so each passes its identical full copy and the array is
+    laid out fully replicated instead of dp-sharded.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -162,16 +183,27 @@ def make_global_batch(local_tree: Any, mesh, n_global: Optional[int] = None):
     from ruart_tpu.parallel.mesh import DP_AXIS
 
     sharding = NamedSharding(mesh, P(DP_AXIS))
+    replicated = NamedSharding(mesh, P())
     n_proc = jax.process_count()
+    rep = frozenset(replicated_keys)
 
-    def put(x):
+    def put(path, x):
         if x is None:
             return None
         x = np.asarray(x)
+        leaf_key = next(
+            (p.key for p in reversed(path)
+             if isinstance(p, jax.tree_util.DictKey)),
+            None,
+        )
+        if leaf_key in rep:
+            return jax.make_array_from_process_local_data(
+                replicated, x, x.shape
+            )
         rows = n_global if n_global is not None else x.shape[0] * n_proc
         global_shape = (rows,) + x.shape[1:]
         return jax.make_array_from_process_local_data(
             sharding, x, global_shape
         )
 
-    return jax.tree.map(put, local_tree)
+    return jax.tree_util.tree_map_with_path(put, local_tree)

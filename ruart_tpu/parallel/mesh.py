@@ -133,6 +133,18 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     shardings = param_shardings(params, mesh)
+    if jax.process_count() > 1:
+        # multi-host: device_put rejects shardings that span non-addressable
+        # devices. Every host holds the identical full param tree (same-seed
+        # deterministic init), so each contributes its addressable shards by
+        # slicing its local copy.
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, s, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(put, params, shardings)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

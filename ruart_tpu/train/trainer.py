@@ -255,18 +255,15 @@ class Trainer:
             tp_req = int(self.opt.get("tensor_parallel", 1))
             if self._n_proc > 1:
                 # hybrid ICI x DCN mesh: tp inside each host, dp host-major
-                # over DCN. Every host runs this same program and feeds its
-                # process_batch_slice of each batch (`_device_put`); batch
-                # shapes must agree across hosts, so dedup tables and
-                # bucket ladders (both data-dependent) are disabled.
+                # over DCN. Every host runs this same program and collates
+                # the FULL global batch (deterministic: same items, same
+                # collator), then feeds its process_batch_slice of the
+                # per-sample keys (`_device_put`). Dedup/pack tables, bucket
+                # picks, and cand_sel are data-dependent but derived from
+                # the same global batch on every host, so shapes and
+                # contents agree — they ride along as replicated
+                # batch-global arrays instead of being disabled.
                 mesh = make_hybrid_mesh(tp=tp_req)
-                self.collator = Collator(
-                    Config({
-                        **self.opt, "bert_dedup_frac": 0,
-                        "bucket_ocr_num": 0, "bucket_ocr_bert_len": 0,
-                        "bucket_q_bert_len": 1, "bucket_word_len": 1,
-                    })
-                )
             else:
                 mesh = auto_mesh(tp=tp_req)
             dp = mesh.shape["dp"]
@@ -325,18 +322,26 @@ class Trainer:
             return batch
         if self._n_proc > 1:
             # every host collated the full global batch (cheap, uniform
-            # program); device arrays are assembled from each host's slice
+            # program); device arrays are assembled from each host's slice.
+            # Batch-GLOBAL keys (dedup/pack tables, cand_sel) are identical
+            # on every host and stay unsliced -> replicated.
+            from ruart_tpu.data.collate import COMPACT_KEYS, DEDUP_KEYS
             from ruart_tpu.parallel.distributed import (
                 make_global_batch,
                 process_batch_slice,
             )
 
+            global_keys = frozenset(DEDUP_KEYS + COMPACT_KEYS)
             q, ocr, od, gt, extra = batch
             sl = process_batch_slice(self.cfg.batch_size)
-            cut = lambda t: {k: v[sl] for k, v in t.items()}
+            cut = lambda t: {
+                k: (v if k in global_keys else v[sl]) for k, v in t.items()
+            }
             gq, gocr, god, ggt = make_global_batch(
                 (cut(q), cut(ocr), cut(od), gt[sl] if gt is not None else None),
                 self.mesh,
+                n_global=self.cfg.batch_size,
+                replicated_keys=global_keys,
             )
             return gq, gocr, god, ggt, extra
         return device_put_batch(batch, self._batch_sharding)

@@ -163,6 +163,36 @@ def test_batch_iterator_and_prefetch(pipeline_env):
     assert n == len(sampler)
 
 
+def test_worker_pool_items_match_serial(pipeline_env):
+    """The `num_worker` process pool must be value-transparent: every batch
+    it yields is byte-identical to the serial path (item building is pure
+    python/numpy over preprocessed data)."""
+    import numpy as np
+
+    cfg, pre, vocab, *_ = pipeline_env
+    tok = WordPieceTokenizer(build_demo_vocab())
+    train = _load_split(cfg, "train")
+    ds = VQADataset(train["data"], cfg, mode="train", tokenizer=tok)
+    coll = Collator(cfg)
+
+    def run(workers):
+        sampler = VQASampler(len(ds), 4, train=True, epoch=1)
+        return list(batch_iterator(ds, sampler, coll, num_workers=workers))
+
+    for serial, pooled in zip(run(0), run(2)):
+        for a, b in zip(serial, pooled):
+            if a is None or isinstance(a, list):
+                assert a == b  # extra_info python metadata round-trips
+                continue
+            keys_a = sorted(a) if isinstance(a, dict) else None
+            if keys_a is not None:
+                assert keys_a == sorted(b)
+                for k in keys_a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            else:
+                np.testing.assert_array_equal(a, b)
+
+
 def test_preprocessed_schema_completeness(pipeline_env):
     """Artifact schema parity: annotated tokens carry the reference's full
     field set (word/lemma/pos/pos_id/ent/ent_id/offsets/sentences/wordid/
