@@ -18,6 +18,24 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# Every test file that imports torch (directly or via transformers). These
+# run in ONE child pytest process (tests/test_torch_subprocess.py) so the
+# main suite process never holds torch and jax together — which lets the
+# main process keep persistent-cache WRITES enabled (see below).
+TORCH_TEST_FILES = [
+    "test_aux_components.py",
+    "test_bert.py",
+    "test_layers.py",
+    "test_parity_gate.py",
+    "test_reference_parity.py",
+    "test_rnn.py",
+    "test_sdnet_convert.py",
+    "test_train.py",
+]
+_IN_TORCH_SUBPROCESS = bool(os.environ.get("RUART_TORCH_SUBPROCESS"))
+if not _IN_TORCH_SUBPROCESS:
+    collect_ignore = list(TORCH_TEST_FILES)
+
 # The JAX_PLATFORMS env var is ignored in this environment (the experimental
 # 'axon' TPU plugin wins platform selection), so pin the platform via the
 # config API before any computation runs.
@@ -28,12 +46,14 @@ jax.config.update("jax_platforms", "cpu")
 from ruart_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache(os.path.join(str(REPO_ROOT), ".jax_test_cache"))
-# Cache READS only: a persistent-cache WRITE (compilation_cache.py
-# put_executable_and_time) segfaulted the whole suite mid-run — the suite is
-# the one process that holds torch (test_reference_parity) and jax together,
-# and the cache's zstd compressor is known to clash with torch's bundled
-# zstd symbols. Warm reads keep the suite fast; new programs just recompile.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# A persistent-cache WRITE (compilation_cache.py put_executable_and_time)
+# segfaults any process that holds torch and jax together — torch's bundled
+# zstd symbols clash with the cache's zstd compressor. The torch-importing
+# files (TORCH_TEST_FILES) therefore run in a child pytest process with
+# cache writes disabled (warm reads still work); the torch-free main suite
+# keeps writes enabled so fresh-cache runs warm up for next time.
+if _IN_TORCH_SUBPROCESS:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 import pytest
 
