@@ -567,8 +567,19 @@ class Preprocessor:
         vocab = sorted(
             [t for t in counter_qa if keep(t)], key=counter_qa.get, reverse=True
         )
+        # counter_c.keys() - counter_qa.keys() is a SET: its iteration order
+        # is hash-randomized per process, and Python's stable sort preserves
+        # that arbitrary order among equal-count ties — two processes built
+        # different vocab orders for the same data (caught by the 2-process
+        # smoke: rank-0's checkpoint had permuted embedding rows vs the
+        # single-process run; forward math is order-invariant so losses
+        # still matched). Lexicographic pre-sort makes the tiebreak
+        # deterministic, which multi-host preprocessing and checkpoint
+        # portability require. (The reference, `CoQAPreprocess.py:520-526`,
+        # has the same per-process nondeterminism; there is no fixed
+        # reference order to preserve.)
         vocab += sorted(
-            [t for t in counter_c.keys() - counter_qa.keys() if keep(t)],
+            sorted(t for t in counter_c.keys() - counter_qa.keys() if keep(t)),
             key=counter.get,
             reverse=True,
         )

@@ -350,15 +350,21 @@ class Trainer:
     def _host_tree(self, tree):
         """Fetchable copy of a (possibly multi-host-sharded) tree: under
         multi-process execution params/opt-state shards live on other
-        hosts' devices and np.asarray would fail; gather them first."""
+        hosts' devices and np.asarray would fail. With tp confined to ICI
+        and dp replicating params across hosts, every leaf is assembled
+        from THIS host's addressable shards — zero DCN traffic on save;
+        only leaves this host does not cover fall back to an all-gather
+        (all hosts agree on which, so the collective cannot deadlock).
+        Non-zero ranks skip materializing local-path leaves (rank 0 is
+        the only writer)."""
         if self._n_proc <= 1:
             return tree
-        from jax.experimental import multihost_utils
+        from ruart_tpu.parallel.distributed import fetch_local_first
+
+        rank0 = jax.process_index() == 0
 
         def fetch(x):
-            if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-            return np.asarray(x)
+            return fetch_local_first(x, materialize=rank0)
 
         return jax.tree.map(fetch, tree)
 

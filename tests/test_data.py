@@ -447,3 +447,64 @@ def test_native_fill_fuzz_parity():
                 ed2 = max(min(ed, MB), st2)
                 assert off_c[i, j, 0] == st2 and off_c[i, j, 1] == ed2
             assert (off_c[i, len(offs):] == 0).all()
+
+
+def test_vocab_order_deterministic_across_processes(tmp_path, shipped_conf_opt):
+    """Vocab order must not depend on the process hash seed: the
+    non-answer chunk of _build_vocab iterates a set difference whose order
+    is PYTHONHASHSEED-randomized, and the stable count sort preserves that
+    arbitrary order among ties — caught by the 2-process training smoke
+    (rank 0's checkpoint had permuted embedding rows vs the single-process
+    oracle). Multi-host preprocessing and checkpoint portability require
+    every process to build the identical vocab."""
+    import json
+    import subprocess
+    import sys
+
+    script = r"""
+import json, sys
+sys.path.insert(0, %r)
+import msgpack
+from ruart_tpu.core.config import Config
+from ruart_tpu.data.preprocess import Preprocessor
+root = %r
+opt = json.load(open(root + "/opt.json"))
+pre = Preprocessor(Config(opt))
+with open(root + "/train.msgpack", "rb") as f:
+    raw = msgpack.unpack(f, raw=False, strict_map_key=False)["data"]
+data = pre._process_data(raw)
+print(json.dumps(pre._build_vocab(data)))
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+       str(tmp_path))
+
+    raw = make_synthetic_raw_dataset(16, seed=7)
+    with open(tmp_path / "train.msgpack", "wb") as f:
+        msgpack.pack(raw, f)
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    opt.update(
+        {
+            "Task": "train",
+            "datadir": str(tmp_path),
+            "FEATURE_FOLDER": str(tmp_path / "features"),
+            "train_FILE": "train.msgpack",
+            "preprocess_ocr_name": "ocr_PMTD_ASTER,ES_ocr",
+            "preprocess_od_name": "OD_bottom-up",
+        }
+    )
+    with open(tmp_path / "opt.json", "w") as f:
+        json.dump({k: v for k, v in opt.items()}, f, default=str)
+
+    vocabs = []
+    for seed in ("1", "271828"):
+        env = dict(os.environ)
+        env["PYTHONHASHSEED"] = seed
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        vocabs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    assert vocabs[0] == vocabs[1]
+    assert len(vocabs[0]) > 10  # non-trivial vocab actually got built

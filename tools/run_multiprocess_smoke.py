@@ -30,7 +30,12 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RTOL = 2e-5  # fp32 psum/reduction-order drift across mesh layouts
+# fp32 reduction-order drift across mesh layouts: the hybrid 2x4 mesh
+# lowers the gradient psum as ICI reduce-scatter + DCN all-reduce +
+# all-gather while the flat 8-device mesh reduces in one order, and two
+# Adamax updates (|g|-normalized) amplify the per-step drift (observed
+# 1.6e-5..4.9e-5 rel across runs). Both RANKS must still agree exactly.
+RTOL = 2e-4
 
 
 def _free_port() -> int:
@@ -105,6 +110,35 @@ def _child(role: str, datadir: str, out_path: str, coordinator: str) -> None:
     trainer = Trainer(Config(opt), bert_config=BertConfig.tiny(vocab_size=64))
     trainer.train(eval_every=10 ** 6, log_every=10 ** 6)
 
+    # checkpoint save path: rank 0 assembles every leaf from LOCAL shards
+    # (params replicated over the cross-host dp axis; tp confined to this
+    # host) — zero DCN all-gathers; other ranks write nothing
+    from ruart_tpu.parallel.distributed import fetch_fallback_count
+
+    ckpt_path = os.path.join(datadir, "ckpt.npz")
+    trainer.save(ckpt_path, epoch=1)
+    save_fallbacks = fetch_fallback_count()
+
+    # direct correctness of the local-shard assembly: for every param leaf,
+    # the local-first fetch must be BITWISE equal to the all-gather fetch
+    # (same global array, two transport paths). Collective — all ranks run.
+    fetch_exact = True
+    if role != "single":
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        from ruart_tpu.parallel.distributed import fetch_local_first
+
+        for leaf in jax.tree.leaves(
+            (trainer.state.params, trainer.state.opt_state)
+        ):
+            local = fetch_local_first(leaf, materialize=True)
+            gathered = np.asarray(
+                multihost_utils.process_allgather(leaf, tiled=True)
+            )
+            if local.shape != gathered.shape or not (local == gathered).all():
+                fetch_exact = False
+
     result = {
         "role": role,
         "loss": float(trainer.train_loss.avg),
@@ -112,6 +146,9 @@ def _child(role: str, datadir: str, out_path: str, coordinator: str) -> None:
         "process_count": int(jax.process_count()),
         "global_devices": int(jax.device_count()),
         "mesh": dict(trainer.mesh.shape) if trainer.mesh is not None else None,
+        "ckpt_path": ckpt_path if os.path.exists(ckpt_path) else None,
+        "ckpt_fallbacks": save_fallbacks,
+        "fetch_exact": fetch_exact,
     }
     with open(out_path, "w") as f:
         json.dump(result, f)
@@ -207,6 +244,65 @@ def main() -> int:
     if results[0]["loss"] != results[1]["loss"]:
         print("FAIL: ranks disagree on the global loss", file=sys.stderr)
         ok = False
+
+    # checkpoint contract: rank 0 wrote, rank 1 did not, NO all-gather
+    # fallbacks fired (every leaf local-shard-assembled), and the saved
+    # params match the single-process run's checkpoint numerically
+    by_role = {r["role"]: r for r in results}
+    if by_role["0"]["ckpt_path"] is None:
+        print("FAIL: rank 0 did not write a checkpoint", file=sys.stderr)
+        ok = False
+    if by_role["1"]["ckpt_path"] is not None:
+        print("FAIL: rank 1 wrote a checkpoint (only rank 0 should)",
+              file=sys.stderr)
+        ok = False
+    for r in results:
+        if r["ckpt_fallbacks"] != 0:
+            print(
+                f"FAIL: rank {r['role']} used {r['ckpt_fallbacks']} "
+                "all-gather fallbacks saving (params should be locally "
+                "reconstructible)", file=sys.stderr,
+            )
+            ok = False
+        if not r["fetch_exact"]:
+            print(
+                f"FAIL: rank {r['role']} local-shard assembly != "
+                "process_allgather on some param leaf", file=sys.stderr,
+            )
+            ok = False
+    if ok and single.get("ckpt_path") and by_role["0"]["ckpt_path"]:
+        import numpy as np
+
+        with np.load(single["ckpt_path"], allow_pickle=False) as a, \
+                np.load(by_role["0"]["ckpt_path"], allow_pickle=False) as b:
+            keys_a = set(a.files) - {"__meta__"}
+            keys_b = set(b.files) - {"__meta__"}
+            if keys_a != keys_b:
+                print(f"FAIL: checkpoint key sets differ: "
+                      f"{sorted(keys_a ^ keys_b)[:5]}", file=sys.stderr)
+                ok = False
+            else:
+                # loose sanity only, params only: Adamax's first step is
+                # lr*(1-b1)*sign(g) per element (u = |g| at step 1), so
+                # elements whose true gradient is ~0 get topology-dependent
+                # SIGN flips from fp32 reduction-order noise — observed
+                # ~1e-3-absolute drift on weights after two updates, and
+                # chaotic opt-moment values (skipped; their key set is
+                # checked above and their save TRANSPORT is asserted
+                # bitwise via fetch_exact). The single-vs-multi loss
+                # equality (rel 2e-4) is the load-bearing check.
+                for k in sorted(keys_a):
+                    if k.startswith("opt/"):
+                        continue
+                    va, vb = np.asarray(a[k], np.float32), np.asarray(
+                        b[k], np.float32)
+                    if not np.allclose(va, vb, rtol=1e-2, atol=5e-3):
+                        print(
+                            f"FAIL: checkpoint leaf {k} differs "
+                            f"(max|d|={np.abs(va - vb).max():.3e})",
+                            file=sys.stderr,
+                        )
+                        ok = False
     if not ok:
         return 1
     print(
