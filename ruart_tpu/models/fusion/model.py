@@ -183,74 +183,178 @@ class RUArtModel(nn.Module):
         key = "fasttext" if "fasttext" in names else "glove"
         return (item[key] != 0).astype(jnp.float32)
 
-    def _bert_words(self, item, word_mask, deterministic) -> jax.Array:
+    def _encode_rows(self, ids, seg, pos) -> jax.Array:
+        """One encoder invocation on segment-form rows: ``seg`` [R, L]
+        (0 = pad, >=1 = packed segment) and explicit ``pos`` [R, L]. For a
+        single-segment row (seg = the attention mask, pos = arange) this is
+        bit-equivalent to the dense attention-mask form: the per-(query,
+        key) bias values are identical (0 / ATTN_MASK_BIAS — see
+        BertModel.__call__ segment docs). Applies the alpha-combine /
+        LOCK_BERT handling exactly like the in-place paths."""
+        s = self.spec
+        kw = dict(segment_ids=seg, position_ids=pos, deterministic=True)
+        if s.bert_linear_combine:
+            w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
+            return self.Bert(
+                ids, None, combine_weights=w,
+                stop_layer_gradients=s.lock_bert, **kw,
+            )[0]
+        all_layers = self.Bert(ids, None, **kw)[0]
+        if s.lock_bert:
+            all_layers = jax.lax.stop_gradient(all_layers)
+        return all_layers[-1]
+
+    def _bert_row_spec(self, item) -> Optional[Tuple[jax.Array, ...]]:
+        """(ids, seg, pos) encoder rows for one q/candidate block in
+        segment form, or None when the block needs the in-place path
+        (>512 chunking). Candidate blocks must already be flattened to
+        [B*N, Lb] (q blocks are [B, Lqb] natively)."""
+        s = self.spec
+        if "bert_packed" in item:
+            ids = item["bert_packed"]
+            seg, pos = item["bert_packed_seg"], item["bert_packed_pos"]
+        else:
+            ids = item["bert_unique"] if "bert_unique" in item else item["bert"]
+            seg = (ids != 0).astype(jnp.int32)
+            pos = jnp.broadcast_to(
+                jnp.arange(ids.shape[-1], dtype=jnp.int32)[None], ids.shape
+            )
+        if ids.shape[-1] > s.bert.max_position_embeddings:
+            return None
+        return ids, seg, pos
+
+    def _fused_bert(
+        self, q, ocr, od, od_encodes: bool
+    ) -> Dict[str, jax.Array]:
+        """ONE batched encoder call over every block whose rows share a
+        token width (`bert_fuse`, default on; TPU perf — 12 layer kernels
+        instead of 36, one big MXU batch instead of three small ones).
+
+        The q rows join as single-segment rows (seg = mask, pos = arange),
+        which produces bias values identical to the dense attention-mask
+        form, so fusion is exact — the reference semantics (three separate
+        encoder calls, `SDNet.py:445-489`) are unchanged. Blocks whose
+        width differs from every other block (e.g. a 50-piece question
+        batch vs the 32-wide packed tables) keep their own in-place call.
+        Returns {block key: encoded rows [R, L, D]} for the fused blocks.
+        """
+        s = self.spec
+        specs = []
+        names_has_bert = lambda names: "bert" in names or "bert_only" in names
+        if names_has_bert(s.q_embedding) and "bert" in q:
+            sp = self._bert_row_spec(q)
+            if sp is not None:
+                specs.append(("q", sp))
+        for key, item, on in (("ocr", ocr, True), ("od", od, od_encodes)):
+            if not (on and names_has_bert(s.ocr_embedding) and "bert" in item):
+                continue
+            flat = item
+            if "bert_packed" not in item and "bert_unique" not in item:
+                if "cand_sel" in item:
+                    # dense rows are compact-gathered INSIDE
+                    # _encode_candidates — a full-grid fused encode would
+                    # both defeat compaction and mismatch the gathered rows
+                    continue
+                flat = {"bert": _flatten_cand(item["bert"])}
+            sp = self._bert_row_spec(flat)
+            if sp is not None:
+                specs.append((key, sp))
+        by_width: Dict[int, list] = {}
+        for key, sp in specs:
+            by_width.setdefault(sp[0].shape[-1], []).append((key, sp))
+        out: Dict[str, jax.Array] = {}
+        for grp in by_width.values():
+            if len(grp) < 2:
+                continue  # nothing to fuse at this width
+            ids, seg, pos = (
+                jnp.concatenate([sp[i] for _, sp in grp], axis=0)
+                for i in range(3)
+            )
+            encoded = self._encode_rows(ids, seg, pos)
+            ofs = 0
+            for key, sp in grp:
+                n = sp[0].shape[0]
+                out[key] = encoded[ofs:ofs + n]
+                ofs += n
+        return out
+
+    def _bert_words(
+        self, item, word_mask, deterministic, encoded=None
+    ) -> jax.Array:
         """Shared BERT encode + combine + word pooling. Gradients are cut
         when LOCK_BERT (`SDNet.py:91-94`); BERT always runs dropout-free
         (`Bert.py:43`). Sequences longer than ``max_position_embeddings``
         are chunked at 512 and concatenated on the sequence axis BEFORE
         pooling, positions restarting per chunk — the reference's quirk
-        (`Bert.py:94-101,133-140`), unrolled statically at trace time."""
+        (`Bert.py:94-101,133-140`), unrolled statically at trace time.
+        ``encoded`` short-circuits the encoder with rows already computed
+        by the fused batched call (`_fused_bert`); pooling is unchanged."""
         s = self.spec
         # candidate dedup (opt-in, see Collator._add_dedup): the encoder
         # output depends only on the piece-id row, so encode unique rows and
         # gather back; per-row offsets still pool each duplicate's own words
         packed = "bert_packed" in item
         dedup = "bert_unique" in item
-        if packed:
-            # sequence-packed unique table (Collator._add_pack): several
-            # candidates share one encoder row behind a block-diagonal
-            # segment mask with per-segment position restart — exact (see
-            # models/bert/model.py segment_ids docs). Rows are packed-short
-            # by construction (<= max_position_embeddings), so no chunking.
-            ids = item["bert_packed"]
-            bert_kwargs = dict(
-                segment_ids=item["bert_packed_seg"],
-                position_ids=item["bert_packed_pos"],
-            )
-            mask = None
-        elif dedup:
-            ids = item["bert_unique"]
-            mask = (ids != 0).astype(jnp.int32)
-            bert_kwargs = {}
+        if encoded is not None:
+            combined = encoded
         else:
-            ids = item["bert"]
-            mask = item["bert_mask"]
-            bert_kwargs = {}
-        max_len = s.bert.max_position_embeddings
-        spans = [
-            (p, min(p + max_len, ids.shape[-1]))
-            for p in range(0, ids.shape[-1], max_len)
-        ]
-        if packed:
-            assert len(spans) == 1, "packed rows exceed max_position_embeddings"
-
-        def run_bert(a, b, **kw):
-            m = mask[:, a:b] if mask is not None else None
-            return self.Bert(ids[:, a:b], m, deterministic=True,
-                             **bert_kwargs, **kw)[0]
-
-        if s.bert_linear_combine:
-            # fold softmax(alpha)*gamma into the encoder's in-loop layer
-            # accumulation: never materializes the [L, B, Lb, D] stack
-            w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
-            chunks = [
-                run_bert(a, b, combine_weights=w,
-                         stop_layer_gradients=s.lock_bert)
-                for a, b in spans
+            if packed:
+                # sequence-packed unique table (Collator._add_pack): several
+                # candidates share one encoder row behind a block-diagonal
+                # segment mask with per-segment position restart — exact (see
+                # models/bert/model.py segment_ids docs). Rows are packed-
+                # short by construction (<= max_position_embeddings), so no
+                # chunking.
+                ids = item["bert_packed"]
+                bert_kwargs = dict(
+                    segment_ids=item["bert_packed_seg"],
+                    position_ids=item["bert_packed_pos"],
+                )
+                mask = None
+            elif dedup:
+                ids = item["bert_unique"]
+                mask = (ids != 0).astype(jnp.int32)
+                bert_kwargs = {}
+            else:
+                ids = item["bert"]
+                mask = item["bert_mask"]
+                bert_kwargs = {}
+            max_len = s.bert.max_position_embeddings
+            spans = [
+                (p, min(p + max_len, ids.shape[-1]))
+                for p in range(0, ids.shape[-1], max_len)
             ]
-            combined = (
-                chunks[0] if len(chunks) == 1
-                else jnp.concatenate(chunks, axis=1)
-            )
-        else:
-            chunks = [run_bert(a, b) for a, b in spans]
-            all_layers = (
-                chunks[0] if len(chunks) == 1
-                else jnp.concatenate(chunks, axis=2)
-            )
-            if s.lock_bert:
-                all_layers = jax.lax.stop_gradient(all_layers)
-            combined = all_layers[-1]
+            if packed:
+                assert len(spans) == 1, \
+                    "packed rows exceed max_position_embeddings"
+
+            def run_bert(a, b, **kw):
+                m = mask[:, a:b] if mask is not None else None
+                return self.Bert(ids[:, a:b], m, deterministic=True,
+                                 **bert_kwargs, **kw)[0]
+
+            if s.bert_linear_combine:
+                # fold softmax(alpha)*gamma into the encoder's in-loop layer
+                # accumulation: never materializes the [L, B, Lb, D] stack
+                w = jax.nn.softmax(self.alphaBERT) * self.gammaBERT.reshape(())
+                chunks = [
+                    run_bert(a, b, combine_weights=w,
+                             stop_layer_gradients=s.lock_bert)
+                    for a, b in spans
+                ]
+                combined = (
+                    chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=1)
+                )
+            else:
+                chunks = [run_bert(a, b) for a, b in spans]
+                all_layers = (
+                    chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=2)
+                )
+                if s.lock_bert:
+                    all_layers = jax.lax.stop_gradient(all_layers)
+                combined = all_layers[-1]
         pool_uniques = (packed or dedup) and "bert_unique_offsets" in item
         if pool_uniques:
             # pool-before-expand: the dedup key is the joint (pieces,
@@ -297,6 +401,7 @@ class RUArtModel(nn.Module):
         names: Tuple[str, ...],
         initial: str,
         deterministic: bool,
+        encoded_bert: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Assemble the concatenated embedding (`SDNet.py:439-493`). Returns
         (embedding, extras) where extras carries the raw word-vector
@@ -320,7 +425,11 @@ class RUArtModel(nn.Module):
             embs.append(drop(glove))
         if "bert" in names or "bert_only" in names:
             word_mask = self._word_mask(item, initial)
-            embs.append(self._bert_words(item, word_mask, deterministic))
+            embs.append(
+                self._bert_words(
+                    item, word_mask, deterministic, encoded=encoded_bert
+                )
+            )
         if "pos" in names:
             embs.append(self.pos_embedding(item["pos"]))
         if "ent" in names:
@@ -334,6 +443,7 @@ class RUArtModel(nn.Module):
         q_word_emb: jax.Array,
         q_word_mask: jax.Array,
         deterministic: bool,
+        encoded_bert: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Token-level embed + pre-align + multi2one -> candidate vectors.
 
@@ -377,7 +487,8 @@ class RUArtModel(nn.Module):
                 for k, v in flat.items()
             }
             emb, extras = self._embed(
-                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic,
+                encoded_bert=encoded_bert,
             )
             if s.pre_align and s.pre_align_before_rnn:
                 # per-question attend expressed on the GATHERED rows: the
@@ -406,7 +517,8 @@ class RUArtModel(nn.Module):
             )
         else:
             emb, extras = self._embed(
-                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic
+                flat, s.ocr_embedding, s.ocr_emb_initial, deterministic,
+                encoded_bert=encoded_bert,
             )
             word_emb = extras["word_emb"]                         # [B*N, L, 300]
             tok_mask = self._mask_by_membership(flat, s.ocr_embedding)
@@ -440,14 +552,28 @@ class RUArtModel(nn.Module):
     ) -> jax.Array:
         s = self.spec
 
+        # --- fused encoder pass (TPU perf; exact — see _fused_bert) ----
+        od_encodes = not (
+            s.img_feature and s.img_fea_way in ("replace_od", "final_att")
+        )
+        fused = (
+            self._fused_bert(q, ocr, od, od_encodes)
+            if s.use_bert and s.bert_fuse
+            else {}
+        )
+
         # --- question embedding ---------------------------------------
-        q_input, q_extras = self._embed(q, s.q_embedding, s.q_emb_initial, deterministic)
+        q_input, q_extras = self._embed(
+            q, s.q_embedding, s.q_emb_initial, deterministic,
+            encoded_bert=fused.get("q"),
+        )
         q_word_emb = q_extras["word_emb"]
         q_mask = self._word_mask(q, s.q_emb_initial)
 
         # --- candidate encoding ---------------------------------------
         ocr_input, ocr_mask = self._encode_candidates(
-            ocr, q_word_emb, q_mask, deterministic
+            ocr, q_word_emb, q_mask, deterministic,
+            encoded_bert=fused.get("ocr"),
         )
         ocr_position = ocr["position"]
 
@@ -463,7 +589,8 @@ class RUArtModel(nn.Module):
             od_position = od["position"]
         else:
             od_input, od_mask = self._encode_candidates(
-                od, q_word_emb, q_mask, deterministic
+                od, q_word_emb, q_mask, deterministic,
+                encoded_bert=fused.get("od"),
             )
             od_position = od["position"]
 

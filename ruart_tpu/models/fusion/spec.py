@@ -27,6 +27,10 @@ class ModelSpec:
     use_bert: bool
     bert_linear_combine: bool
     lock_bert: bool
+    # fuse the q / OCR / OD encoder invocations into one batched Bert call
+    # whenever their token widths match (TPU perf mode, exact math — see
+    # RUArtModel._fused_bert; `bert_fuse 0` opts out)
+    bert_fuse: bool
     vocab_size: int
     glove_dim: int
     fast_dim: int
@@ -108,6 +112,7 @@ class ModelSpec:
             use_bert=use_bert,
             bert_linear_combine="BERT_LINEAR_COMBINE" in opt,
             lock_bert="LOCK_BERT" in opt,
+            bert_fuse=bool(int(opt.get("bert_fuse", 1))),
             vocab_size=int(opt.get("vocab_size", 0)),
             glove_dim=int(opt.get("glove_dim", 300)),
             fast_dim=int(opt.get("fast_dim", 300)),

@@ -32,10 +32,18 @@ enable_compilation_cache()
 import numpy as np
 
 # forward order (see RUArtModel.__call__); each entry is a top-level
-# submodule name whose captured output becomes the jitted return value
+# submodule name whose captured output becomes the jitted return value.
+# "name:i" selects the i-th CALL of that submodule (flax captures one
+# entry per invocation) — the other calls DCE away, so per-call costs of
+# the three Bert invocations (q=0, ocr=1, od=2) are separable.
 CUTS = [
+    "Bert:0",                # question encode (first call, in q _embed)
+    "Bert:1",                # OCR encode (packed/unique table)
+    "Bert:2",                # OD encode
     "Bert",                  # 3 encoder calls (ocr packed/unique, od, q)
     "pre_align",             # word-level q<->cand attention (glove space)
+    "multi2one:0",           # OCR branch only (embed+pool+pre_align+m2o)
+    "multi2one:1",           # OD branch only
     "multi2one",             # per-candidate BiLSTM (includes embed+pooling)
     "context_rnn",           # 2-layer BiLSTM over ocr & od candidates
     "ques_rnn",              # 2-layer BiLSTM over question words
@@ -81,6 +89,8 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
     model = RUArtModel(spec)
 
     def cut_fn(name):
+        name, _, idx = name.partition(":")
+
         def run(p, q, ocr, od):
             _, state = model.apply(
                 p, q, ocr, od,
@@ -91,6 +101,8 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
             # computation but keeps output buffers scalar (full activations
             # for every call site OOM the chip at batch 256)
             out = state["intermediates"][name]["__call__"]
+            if idx:
+                out = out[int(idx)]  # single call: the others DCE away
             return jax.tree.map(lambda t: t.astype(jnp.float32).sum(), out)
 
         return jax.jit(run)
@@ -104,7 +116,9 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
     for name in CUTS:
         try:
             t = fence_timeit(cut_fn(name), params, q, ocr, od)
-        except KeyError:
+        except (KeyError, IndexError):
+            # IndexError: bert_fuse merges encoder calls, so a per-call
+            # index may not exist in the fused program
             print(f"{name:>22}: (not active in this conf)", flush=True)
             continue
         rows.append((name, t))
