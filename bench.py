@@ -69,7 +69,7 @@ def _add_realistic_duplication(block, unique_frac: float, seed: int):
 
 
 def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
-                   pack: bool = False):
+                   pack: bool = False, fuse: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -84,12 +84,23 @@ def build_flagship(batch_size: int, dtype: str = "float32", dedup: bool = True,
     # the collator packs by default: set the key BOTH ways so the dense
     # A/B arm is genuinely dense
     cfg.opt["bert_pack"] = 1 if pack else 0
+    # fused q/ocr/od encoder call (bert_fuse, default-on); the off arm
+    # isolates the fusion win in A/Bs
+    cfg.opt["bert_fuse"] = 1 if fuse else 0
     spec = ModelSpec.from_config(cfg, BertConfig(dtype=dtype))
     model = RUArtModel(spec)
     q, ocr, od, _ = make_synthetic_batch(spec, cfg, batch_size, seed=0)
     _add_realistic_duplication(ocr, 0.125, seed=1)
     _add_realistic_duplication(od, 0.03, seed=2)
     coll = Collator(cfg)
+    # question-row packing (q_pack, default-on): attach exactly as the
+    # Collator does for every real batch — rides the pack flag so the
+    # dense A/B arm stays genuinely dense
+    if pack and coll.q_pack and coll.dedup_frac > 0:
+        B, Lqb = q["bert"].shape
+        coll._add_dedup(q, B, 1, Lqb, frac=1.0)
+        if "bert_inverse" in q:
+            q["bert_inverse"] = q["bert_inverse"].reshape(B)
     if dedup:
         # attach bert_unique/bert_inverse exactly as the default Collator
         # does for every real batch (bert_dedup_frac defaults to 0.25)

@@ -203,6 +203,16 @@ class Collator:
         # disables it.
         self.pack = bool(int(cfg.opt.get("bert_pack", 1)))
         self.pack_len = int(cfg.opt.get("bert_pack_len", 32))
+        # question-row packing (`q_pack 1`): the [B, Lqb] question grid is
+        # mostly pad too (real questions average ~12 pieces against the
+        # 50-piece cap) and the q encoder call was ~26 ms of the 115 ms
+        # flagship batch (round-4 DCE profile). The q block rides the SAME
+        # dedup+pack machinery with max_num=1 and frac=1.0 (the table
+        # always attaches — questions rarely duplicate, the win is the
+        # packing); bert_inverse collapses to [B]. Exact for the same
+        # reason candidate packing is. Rides bert_pack: q_pack 0 (or
+        # bert_pack 0) opts out.
+        self.q_pack = bool(int(cfg.opt.get("q_pack", 1)))
         # packing cuts rows 2-4x on realistic candidate lengths, so the
         # packed-row ladder must reach well below size/2 (4 halving steps)
         self.pack_buckets = int(cfg.opt.get("bert_pack_buckets", 4))
@@ -467,9 +477,11 @@ class Collator:
         sel[:R] = np.flatnonzero(mask.reshape(-1))
         out["cand_sel"] = sel
 
-    def dedup_cap(self, B: int, max_num: int) -> int:
+    def dedup_cap(self, B: int, max_num: int, frac: Optional[float] = None) -> int:
         """The 64-aligned unique-table cap for a [B, max_num] block."""
-        return max(64, int(np.ceil(self.dedup_frac * B * max_num / 64.0)) * 64)
+        if frac is None:
+            frac = self.dedup_frac
+        return max(64, int(np.ceil(frac * B * max_num / 64.0)) * 64)
 
     def dedup_sizes(self, B: int, max_num: int) -> Tuple[int, ...]:
         """Every unique-table ROW count this collator can emit for a
@@ -510,7 +522,8 @@ class Collator:
             max_bert_len, self.dedup_len_buckets, align=8, floor=8
         )
 
-    def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len):
+    def _add_dedup(self, out: Dict[str, np.ndarray], B, max_num, max_bert_len,
+                   frac: Optional[float] = None):
         """Attach bert_unique [cap-bucket, Lb] + bert_inverse [B, N] +
         bert_unique_offsets [cap-bucket, W, 2] when the batch's unique rows
         fit the configured cap.
@@ -521,8 +534,10 @@ class Collator:
         only when rows sharing an encoder row also share word spans. In
         practice duplicates are repeated *strings* (same tokenization, same
         spans), so the joint key costs ~no unique-count inflation."""
-        cap = self.dedup_cap(B, max_num)
-        if cap >= B * max_num and self.dedup_frac < 1.0:
+        if frac is None:
+            frac = self.dedup_frac
+        cap = self.dedup_cap(B, max_num, frac)
+        if cap >= B * max_num and frac < 1.0:
             # the 64-row-aligned cap is no smaller than the dense batch at
             # these shapes (tiny test batches): dedup cannot win, stay dense
             # (frac >= 1 forces the dedup artifacts anyway, for tests) —
@@ -671,6 +686,13 @@ class Collator:
                 out[k] = _pad_ids([q[k] for q in q_list], Lq)
         if "bert" in out:
             out["bert_mask"] = (out["bert"] != 0).astype(np.int32)
+            if self.q_pack and self.pack and self.dedup_frac > 0:
+                # pack the question rows through the same machinery
+                # (max_num=1; frac=1.0 so the table ALWAYS attaches — the
+                # win is packing, not dedup); see __init__ q_pack note
+                self._add_dedup(out, B, 1, out["bert"].shape[-1], frac=1.0)
+                if "bert_inverse" in out:
+                    out["bert_inverse"] = out["bert_inverse"].reshape(B)
         return out
 
     # -- labels ----------------------------------------------------------

@@ -507,6 +507,9 @@ class RUArtModel(nn.Module):
                 )
                 attended = attended * tok_mask[..., None]
                 emb = jnp.concatenate([emb, attended], axis=-1)
+            # profiler cut point (tools/profile_fusion.py): cost up to the
+            # multi2one INPUT — no-op outside capture_intermediates
+            self.sow("intermediates", "cand_emb", emb)
             m2o = self.multi2one(emb, deterministic=deterministic)
             last = gather_last_state(m2o, flat["len"])           # [R_cap, H]
             last = last * valid[:, None].astype(last.dtype)
@@ -533,6 +536,7 @@ class RUArtModel(nn.Module):
                 attended = attended.reshape(B * N, L, -1) * tok_mask[..., None]
                 emb = jnp.concatenate([emb, attended], axis=-1)
 
+            self.sow("intermediates", "cand_emb", emb)
             m2o = self.multi2one(emb, deterministic=deterministic)  # [B*N, L, H]
             last = gather_last_state(m2o, flat["len"])            # [B*N, H]
             cand = last.reshape(B, N, -1)

@@ -286,6 +286,14 @@ class InferenceEngine:
                 ocr_num=n_bucket, ocr_bert_len=l_bucket, q_bert_len=q_len,
                 ocr_word_len=ocr_w, od_word_len=od_w,
             )
+            # q_pack: live q blocks ALWAYS carry the packed table (frac
+            # 1.0 never falls back), so warm the as-collated signature;
+            # bucket drift within the q ladders is covered by
+            # warmup_calibrated's q-top variant / lazy compile
+            if coll.q_pack and coll.pack and coll.dedup_frac > 0:
+                coll._add_dedup(q, B, 1, q["bert"].shape[-1], frac=1.0)
+                if "bert_inverse" in q:
+                    q["bert_inverse"] = q["bert_inverse"].reshape(B)
             ocr_opts = dedup_opts(n_bucket, l_bucket)
             od_opts = dedup_opts(od["bert"].shape[1], od["bert"].shape[2])
 
@@ -367,6 +375,36 @@ class InferenceEngine:
                 count += 1
         return count
 
+    def _q_top_tables(self, q: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """The q block rebuilt with its packed tables at the TOP ladder
+        buckets (size = cap, lsz = widest, R = row-ladder top) — the
+        worst-case q_pack signature a live batch can produce. Only shapes
+        matter to the compile. None when q packing is off."""
+        coll = self.collator
+        if not (coll.q_pack and coll.pack and coll.dedup_frac > 0):
+            return None
+        B, Lqb = q["bert"].shape
+        size = coll.dedup_cap(B, 1, 1.0)
+        lsz = coll.dedup_len_ladder(Lqb)[-1]
+        R = coll.pack_row_ladder(size)[-1]
+        Lp = max(coll.pack_len, lsz)
+        out = {
+            k: v for k, v in q.items()
+            if k not in DEDUP_KEYS
+        }
+        seg = np.zeros((R, Lp), np.int32)
+        pos = np.zeros((R, Lp), np.int32)
+        seg[:, :lsz] = 1
+        pos[:, :lsz] = np.arange(lsz)
+        out["bert_packed"] = seg.copy()  # token id 1 where seg == 1
+        out["bert_packed_seg"] = seg
+        out["bert_packed_pos"] = pos
+        out["bert_unpack"] = np.zeros((size, lsz), np.int32)
+        W = q["bert_offsets"].shape[1]
+        out["bert_unique_offsets"] = np.zeros((size, W, 2), np.int32)
+        out["bert_inverse"] = np.zeros((B,), np.int32)
+        return out
+
     def warmup_calibrated(self, samples: Sequence[Dict[str, Any]]) -> int:
         """Precompile exactly the signatures a calibration sample of real
         traffic produces, plus every fallback a live batch can land on:
@@ -425,15 +463,24 @@ class InferenceEngine:
                 if bo is not None or bd is not None:
                     run(q, bo if bo is not None else oo,
                         bd if bd is not None else dd)
-        # the panic program: conf caps, dense grid, no dedup/compaction (an
-        # overflow on every axis at once lands here)
+            # q_pack bucket drift: a fuller question batch shifts the q
+            # tables' size/lsz/R buckets — warm the worst-case (top-bucket)
+            # q signature against this batch's typical ocr/od blocks
+            qt = self._q_top_tables(q)
+            if qt is not None:
+                run(qt, ocr, od)
+        # the panic program: conf caps, dense candidate grid, no
+        # dedup/compaction (an overflow on every axis at once lands here).
+        # q keeps its top-bucket packed tables when q_pack is on — live q
+        # blocks always carry the table (frac 1.0 never falls back), so a
+        # dense-q panic program would never be hit
         q, ocr, od, _ = make_synthetic_batch(
             self.spec, self.cfg, self.batch_size, seed=0
         )
         for block in (ocr, od):
             for k in DEDUP_KEYS + COMPACT_KEYS:
                 block.pop(k, None)
-        run(q, ocr, od)
+        run(self._q_top_tables(q) or q, ocr, od)
         return count
 
     # -- constructors ----------------------------------------------------

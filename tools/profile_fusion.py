@@ -42,6 +42,8 @@ CUTS = [
     "Bert:2",                # OD encode
     "Bert",                  # 3 encoder calls (ocr packed/unique, od, q)
     "pre_align",             # word-level q<->cand attention (glove space)
+    "cand_emb:0",            # OCR embed+pool+pre_align (multi2one INPUT)
+    "cand_emb:1",            # OD embed+pool+pre_align
     "multi2one:0",           # OCR branch only (embed+pool+pre_align+m2o)
     "multi2one:1",           # OD branch only
     "multi2one",             # per-candidate BiLSTM (includes embed+pooling)
@@ -100,7 +102,10 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
             # sum-reduce the captured activations: forces the full upstream
             # computation but keeps output buffers scalar (full activations
             # for every call site OOM the chip at batch 256)
-            out = state["intermediates"][name]["__call__"]
+            out = state["intermediates"][name]
+            if isinstance(out, dict):
+                out = out["__call__"]   # submodule call capture
+            # else: an explicit self.sow(...) cut point (tuple per call)
             if idx:
                 out = out[int(idx)]  # single call: the others DCE away
             return jax.tree.map(lambda t: t.astype(jnp.float32).sum(), out)
