@@ -44,6 +44,34 @@ DEDUP_KEYS = (
 COMPACT_KEYS = ("cand_sel",)
 
 
+def slim_block(block):
+    """Drop grid keys whose VALUES the model provably never reads once the
+    dedup/packed encoder tables are attached (`h2d_slim 1`, default on):
+
+    * ``bert`` [B, N, Lb] and ``bert_mask`` — the encoder consumes
+      ``bert_unique``/``bert_packed*`` instead (model._bert_words); only
+      key MEMBERSHIP is checked, which `_fused_bert` resolves against the
+      table keys too.
+    * ``bert_offsets`` [B, N, W, 2] — pool-before-expand pools word spans
+      on the unique table via ``bert_unique_offsets``.
+
+    These are ~half a flagship batch's H2D bytes; under the axon tunnel
+    (~120 MB/s) the transfer dominates the end-to-end step, and on real
+    hosts it's still PCIe traffic for buffers XLA immediately DCEs.
+    Returns a shallow copy (or ``block`` unchanged when nothing applies) —
+    the HOST batch keeps every key so warmup/fallback logic can rebuild
+    dense signatures."""
+    if not ("bert_packed" in block or "bert_unique" in block) or \
+            "bert_inverse" not in block:
+        return block
+    dead = ["bert", "bert_mask"]
+    if "bert_unique_offsets" in block:
+        dead.append("bert_offsets")
+    if not any(k in block for k in dead):
+        return block
+    return {k: v for k, v in block.items() if k not in dead}
+
+
 def _parse_buckets(raw, cap: int, floor: int = 1) -> Tuple[int, ...]:
     """Bucket ladder for one shape dimension, largest = the conf cap.
 

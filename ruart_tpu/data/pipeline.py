@@ -131,13 +131,59 @@ def prefetch(
         yield item
 
 
-def device_put_batch(batch, sharding=None):
+# keys that routinely carry the SAME word-id grid (the dataset emits one
+# underlying id list under several embedding keys); ship one buffer and
+# reuse the device array — exact, and neither step donates batch buffers
+_ALIAS_KEYS = ("glove", "fasttext", "phoc")
+
+
+def put_block(block, put=None, slim=True):
+    """device_put one q/ocr/od dict. ``slim`` drops provably-dead grid keys
+    (collate.slim_block); equal ``glove``/``fasttext``/``phoc`` grids
+    transfer ONCE (identity or byte-equality among host numpy arrays) —
+    together ~4x fewer flagship H2D bytes, which dominates the end-to-end
+    step under the axon tunnel (~120 MB/s) and is still PCIe traffic on
+    real hosts."""
+    import numpy as np
+
+    from ruart_tpu.data.collate import slim_block
+
+    if put is None:
+        put = jax.device_put
+    if slim:
+        block = slim_block(block)
+    out = {}
+    seen = []  # (host_array, device_array) for _ALIAS_KEYS
+    for k, v in block.items():
+        if k in _ALIAS_KEYS:
+            hit = None
+            for v2, d2 in seen:
+                if v is v2 or (
+                    isinstance(v, np.ndarray) and isinstance(v2, np.ndarray)
+                    and v.shape == v2.shape and v.dtype == v2.dtype
+                    and np.array_equal(v, v2)
+                ):
+                    hit = d2
+                    break
+            if hit is None:
+                hit = put(v)
+                seen.append((v, hit))
+            out[k] = hit
+        else:
+            out[k] = put(v)
+    return out
+
+
+def device_put_batch(batch, sharding=None, slim=True):
     """Move the array parts of a (q, ocr, od, gt, extra) batch to device;
-    ``extra`` (python metadata) stays on host."""
+    ``extra`` (python metadata) stays on host. ``slim`` (default on, conf
+    ``h2d_slim 0`` opts out at the call sites) drops grid keys the model
+    provably never reads when the dedup/packed tables are attached and
+    ships duplicated id grids once — see :func:`put_block`."""
     q, ocr, od, gt, extra = batch
     put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
-    q = {k: put(v) for k, v in q.items()}
-    ocr = {k: put(v) for k, v in ocr.items()}
-    od = {k: put(v) for k, v in od.items()}
+    q = put_block(q, put, slim)
+    ocr = put_block(ocr, put, slim)
+    od = put_block(od, put, slim)
     gt = put(gt) if gt is not None else None
     return q, ocr, od, gt, extra

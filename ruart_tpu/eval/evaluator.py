@@ -64,7 +64,8 @@ def evaluate(
         # pass their sharded device_put instead
         from ruart_tpu.data.pipeline import device_put_batch
 
-        device_put = device_put_batch
+        slim = bool(int(cfg.opt.get("h2d_slim", 1)))
+        device_put = lambda b: device_put_batch(b, slim=slim)
     def drain(pending):
         nonlocal anls_sum, acc_sum, loss_sum, n_batches
         scores, loss, num, extra = pending

@@ -241,12 +241,17 @@ class RUArtModel(nn.Module):
         s = self.spec
         specs = []
         names_has_bert = lambda names: "bert" in names or "bert_only" in names
-        if names_has_bert(s.q_embedding) and "bert" in q:
+        # membership must resolve against the table keys too: h2d_slim
+        # drops the dense `bert` grid when a packed/unique table rides along
+        has_ids = lambda item: (
+            "bert" in item or "bert_packed" in item or "bert_unique" in item
+        )
+        if names_has_bert(s.q_embedding) and has_ids(q):
             sp = self._bert_row_spec(q)
             if sp is not None:
                 specs.append(("q", sp))
         for key, item, on in (("ocr", ocr, True), ("od", od, od_encodes)):
-            if not (on and names_has_bert(s.ocr_embedding) and "bert" in item):
+            if not (on and names_has_bert(s.ocr_embedding) and has_ids(item)):
                 continue
             flat = item
             if "bert_packed" not in item and "bert_unique" not in item:

@@ -34,6 +34,16 @@ from ruart_tpu.train.train_step import make_eval_step
 _ZERO8 = [0] * 8
 _ZERO4 = [0, 0, 0, 0]
 
+# fork-inherited engine for the serving `num_worker` process pool (same
+# copy-on-write pattern as data/pipeline.py's trainer pool): set in the
+# parent immediately before Pool() forks; workers never touch jax.
+_FORK_ENGINE: Optional["InferenceEngine"] = None
+
+
+def _fork_serve_items(job):
+    base, chunk = job
+    return _FORK_ENGINE._build_items(chunk, base)
+
 
 class InferenceEngine:
     def __init__(
@@ -69,6 +79,23 @@ class InferenceEngine:
         self._ocr_name = str(cfg.opt.get("preprocess_ocr_name", "OCR")).split(",")[0]
         self._od_name = str(cfg.opt.get("preprocess_od_name", "OD")).split(",")[0]
         self._es_name = cfg.opt.get("ES_ocr")
+        # the reference's `num_worker` key (SDNetTrainer.py:100-106 passes it
+        # to the torch DataLoader); here it parallelizes the serving host
+        # stage (featurize + item build, ~80% of host time) across a
+        # fork-based process pool. 0 = serial (default; wins on few-core
+        # hosts — the pool pays off on real multi-core TPU hosts).
+        self.num_workers = int(cfg.opt.get("num_worker", 0))
+        self._pool = None
+        # H2D slimming (`h2d_slim 1`): drop grid keys the model provably
+        # never reads once the packed/unique tables are attached — see
+        # collate.slim_block. Applied at device_put time AND to every
+        # warmup variant so compiled signatures match live traffic.
+        self._h2d_slim = bool(int(cfg.opt.get("h2d_slim", 1)))
+
+    def _slim(self, block):
+        from ruart_tpu.data.collate import slim_block
+
+        return slim_block(block) if self._h2d_slim else block
 
     # -- host featurization ------------------------------------------------
     def _to_raw_datum(self, sample: Dict[str, Any], qid: int) -> Dict[str, Any]:
@@ -107,15 +134,62 @@ class InferenceEngine:
         self._pre._assign_ids(data)
         return VQADataset(data, self.cfg, mode="test", tokenizer=self.tokenizer)
 
+    def _build_items(self, chunk: Sequence[Dict[str, Any]], base: int = 0):
+        """Featurize + build dataset items for ``chunk`` (qids start at
+        ``base`` so worker slices keep globally-unique in-batch ids)."""
+        raw = [self._to_raw_datum(s, base + i) for i, s in enumerate(chunk)]
+        data = self._pre._process_data(raw)
+        self._pre._assign_ids(data)
+        ds = VQADataset(data, self.cfg, mode="test", tokenizer=self.tokenizer)
+        return [ds[i] for i in range(len(ds))]
+
+    def _ensure_pool(self):
+        """Lazily fork the serving worker pool. Workers inherit the engine
+        (preprocessor, vocab, tokenizer) by copy-on-write and do only
+        python/numpy work — featurization is per-sample-independent and
+        deterministic, so pooled items are exactly the serial ones
+        (parity-pinned in tests/test_serve.py)."""
+        import multiprocessing
+
+        if self._pool is not None:
+            return self._pool
+        if "fork" not in multiprocessing.get_all_start_methods():
+            self.num_workers = 0  # no fork (e.g. windows): stay serial
+            return None
+        global _FORK_ENGINE
+        ctx = multiprocessing.get_context("fork")
+        prev, _FORK_ENGINE = _FORK_ENGINE, self
+        self._pool = ctx.Pool(processes=self.num_workers)
+        _FORK_ENGINE = prev  # workers already forked with the engine
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
     # -- inference -----------------------------------------------------------
     def _collated_batches(self, samples: Sequence[Dict[str, Any]]):
         """Per-device-batch host work: featurize -> dataset items ->
         collate. Yields (first_sample_idx, n_real, batch)."""
         B = self.batch_size
+        pool = self._ensure_pool() if self.num_workers > 0 else None
         for start in range(0, len(samples), B):
             chunk = list(samples[start: start + B])
-            ds = self.featurize(chunk)
-            items = [ds[i] for i in range(len(ds))]
+            if pool is not None and len(chunk) > 1:
+                n = min(self.num_workers, len(chunk))
+                step = -(-len(chunk) // n)
+                jobs = [
+                    (off, chunk[off: off + step])
+                    for off in range(0, len(chunk), step)
+                ]
+                items = [
+                    item for part in pool.map(_fork_serve_items, jobs)
+                    for item in part
+                ]
+            else:
+                items = self._build_items(chunk)
             # pad the tail batch by repeating the last item: one compiled shape
             while len(items) < B:
                 items.append(items[-1])
@@ -135,11 +209,11 @@ class InferenceEngine:
 
         def put(t):
             start, n_real, (q, ocr, od, gt, extra) = t
-            import jax
+            from ruart_tpu.data.pipeline import put_block
 
-            q = {k: jax.device_put(v) for k, v in q.items()}
-            ocr = {k: jax.device_put(v) for k, v in ocr.items()}
-            od = {k: jax.device_put(v) for k, v in od.items()}
+            q = put_block(q, slim=self._h2d_slim)
+            ocr = put_block(ocr, slim=self._h2d_slim)
+            od = put_block(od, slim=self._h2d_slim)
             return start, n_real, (q, ocr, od, gt, extra)
 
         def drain(pending):
@@ -182,9 +256,11 @@ class InferenceEngine:
         _, n_real, (q, ocr, od, _gt, extra) = next(
             self._collated_batches(samples)
         )
-        q = {k: jax.device_put(v) for k, v in q.items()}
-        ocr = {k: jax.device_put(v) for k, v in ocr.items()}
-        od = {k: jax.device_put(v) for k, v in od.items()}
+        from ruart_tpu.data.pipeline import put_block
+
+        q = put_block(q, slim=self._h2d_slim)
+        ocr = put_block(ocr, slim=self._h2d_slim)
+        od = put_block(od, slim=self._h2d_slim)
         return n_real, q, ocr, od, extra
 
     def dispatch(self, prepared):
@@ -371,7 +447,10 @@ class InferenceEngine:
                             np.zeros((size - uniq.shape[0], lsz), np.int32),
                         ])
                     block["bert_unique"] = uniq.astype(np.int32)
-                self.eval_step(self.params, q, ocr_v, od_v, None)
+                self.eval_step(
+                    self.params, self._slim(q), self._slim(ocr_v),
+                    self._slim(od_v), None,
+                )
                 count += 1
         return count
 
@@ -423,6 +502,9 @@ class InferenceEngine:
 
         def run(qq, oo, dd):
             nonlocal count
+            # variants are built on FULL host dicts; slim exactly like the
+            # live device_put path so the compiled signature matches
+            qq, oo, dd = self._slim(qq), self._slim(oo), self._slim(dd)
             sig = tuple(
                 (k, v.shape)
                 for t in (qq, oo, dd)

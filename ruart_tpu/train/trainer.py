@@ -246,6 +246,7 @@ class Trainer:
         # final at the single build site below.
         self.mesh = None
         self._batch_sharding = None
+        self._h2d_slim = bool(int(cfg.opt.get("h2d_slim", 1)))
         self._n_proc = jax.process_count()
         n_dev = len(jax.devices())
         if n_dev > 1 and "no_mesh" not in self.opt:
@@ -320,6 +321,11 @@ class Trainer:
     def _device_put(self, batch):
         if self._batch_sharding is None:
             return batch
+        if self._h2d_slim:
+            from ruart_tpu.data.collate import slim_block
+
+            q, ocr, od, gt, extra = batch
+            batch = (slim_block(q), slim_block(ocr), slim_block(od), gt, extra)
         if self._n_proc > 1:
             # every host collated the full global batch (cheap, uniform
             # program); device arrays are assembled from each host's slice.
@@ -344,7 +350,7 @@ class Trainer:
                 replicated_keys=global_keys,
             )
             return gq, gocr, god, ggt, extra
-        return device_put_batch(batch, self._batch_sharding)
+        return device_put_batch(batch, self._batch_sharding, slim=False)
 
     # -- checkpoint plumbing --------------------------------------------
     def _host_tree(self, tree):
@@ -519,7 +525,10 @@ class Trainer:
         # H2D in the prefetch thread on single-device too (device_put
         # releases the GIL; the consumer thread then only dispatches) —
         # the same default the evaluator uses
-        put = self._device_put if self.mesh is not None else device_put_batch
+        put = (
+            self._device_put if self.mesh is not None
+            else (lambda b: device_put_batch(b, slim=self._h2d_slim))
+        )
         # per-step device losses accumulate here and are fetched only at
         # log_every cadence: an unconditional per-step float(loss) is a
         # device->host sync that serializes dispatch against the donated

@@ -197,3 +197,31 @@ def test_engine_warmup_calibrated(shipped_conf_opt):
     assert len(res) == 4
     for r in res:
         assert isinstance(r["answer"], str) and r["answer"]
+
+
+def test_engine_worker_pool_items_match_serial(shipped_conf_opt):
+    """num_worker > 0 builds the host batch in a fork pool; the collated
+    arrays must be byte-identical to the serial path (and answers equal)."""
+    serial = _tiny_engine(shipped_conf_opt)
+    pooled = _tiny_engine(shipped_conf_opt, extra={"num_worker": 2})
+    reqs = _requests(3)  # varied questions, 2 batches incl. tail pad
+    try:
+        got_s = list(serial._collated_batches(reqs))
+        got_p = list(pooled._collated_batches(reqs))
+        assert len(got_s) == len(got_p) == 2
+        for (st_s, n_s, b_s), (st_p, n_p, b_p) in zip(got_s, got_p):
+            assert (st_s, n_s) == (st_p, n_p)
+            # (q, ocr, od, gt, extra): arrays byte-equal, extra dict equal
+            for blk_s, blk_p in zip(b_s[:3], b_p[:3]):
+                assert set(blk_s) == set(blk_p)
+                for k in blk_s:
+                    np.testing.assert_array_equal(
+                        np.asarray(blk_s[k]), np.asarray(blk_p[k]), err_msg=k
+                    )
+        answers_s = serial.predict(reqs)
+        answers_p = pooled.predict(reqs)
+        assert [r["answer"] for r in answers_p] == [
+            r["answer"] for r in answers_s
+        ]
+    finally:
+        pooled.close()

@@ -92,17 +92,21 @@ def main(batch_size=256, pack=True, dtype="bfloat16"):
 
     def cut_fn(name):
         name, _, idx = name.partition(":")
+        # dotted names cut at a NESTED submodule (e.g. "deep_attn.rnn")
+        path = tuple(name.split("."))
 
         def run(p, q, ocr, od):
             _, state = model.apply(
                 p, q, ocr, od,
-                capture_intermediates=lambda mdl, _m: mdl.path == (name,),
+                capture_intermediates=lambda mdl, _m: mdl.path == path,
                 mutable=["intermediates"],
             )
             # sum-reduce the captured activations: forces the full upstream
             # computation but keeps output buffers scalar (full activations
             # for every call site OOM the chip at batch 256)
-            out = state["intermediates"][name]
+            out = state["intermediates"]
+            for part in path:
+                out = out[part]
             if isinstance(out, dict):
                 out = out["__call__"]   # submodule call capture
             # else: an explicit self.sow(...) cut point (tuple per call)
