@@ -254,49 +254,31 @@ enable_compilation_cache()
 import json
 from bench import build_flagship, measure
 
-def run(pack):
-    fn, params, batch = build_flagship(
-        batch_size={bs}, dtype={dt!r}, pack=pack)
-    # log the attached artifact shapes so a bench number can be attributed
-    # to its exact program signature (bucket picks, dedup fallbacks and
-    # compaction state all change the compiled program; a profiler A/B must
-    # match these to be comparable)
-    q, ocr, od = batch
-    for name, blk in (("ocr", ocr), ("od", od)):
-        sig = {{
-            k: tuple(v.shape) for k, v in sorted(blk.items())
-            if k.startswith("bert_") or k == "cand_sel"
-        }}
-        print(f"# {{name}} signature: {{sig}}", file=sys.stderr)
-    qps = measure(fn, params, batch, iters=8, warmup=2)
-    tflops = None
-    try:
-        # fn is already jitted: lowering it again hits the in-process trace
-        # cache and the persistent compile cache (a fresh jit wrapper would
-        # recompile the whole program just for the cost model)
-        ca = fn.lower(params, q, ocr, od).compile().cost_analysis()
-        flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
-        if flops > 0:
-            tflops = flops / ({bs} / qps) / 1e12
-    except Exception as e:
-        print("# cost_analysis failed:", e, file=sys.stderr)
-    return qps, tflops
-
-out = {{}}
-out["qps_dense"], tflops_dense = run(False)
+fn, params, batch = build_flagship(
+    batch_size={bs}, dtype={dt!r}, pack={pack})
+# log the attached artifact shapes so a bench number can be attributed
+# to its exact program signature (bucket picks, dedup fallbacks and
+# compaction state all change the compiled program; a profiler A/B must
+# match these to be comparable)
+q, ocr, od = batch
+for name, blk in (("ocr", ocr), ("od", od)):
+    sig = {{
+        k: tuple(v.shape) for k, v in sorted(blk.items())
+        if k.startswith("bert_") or k == "cand_sel"
+    }}
+    print(f"# {{name}} signature: {{sig}}", file=sys.stderr)
+qps = measure(fn, params, batch, iters=8, warmup=2)
+out = {{"qps": qps}}
 try:
-    # A/B sequence packing (bert_pack); use it downstream only if it
-    # compiles, runs, and wins on this chip
-    out["qps_packed"], tflops_packed = run(True)
+    # fn is already jitted: lowering it again hits the in-process trace
+    # cache and the persistent compile cache (a fresh jit wrapper would
+    # recompile the whole program just for the cost model)
+    ca = fn.lower(params, q, ocr, od).compile().cost_analysis()
+    flops = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
+    if flops > 0:
+        out["tflops"] = flops / ({bs} / qps) / 1e12
 except Exception as e:
-    print("# packed variant failed:", e, file=sys.stderr)
-    out["qps_packed"], tflops_packed = None, None
-pack_wins = bool(out["qps_packed"] and out["qps_packed"] > out["qps_dense"])
-out["pack"] = pack_wins
-out["qps"] = out["qps_packed"] if pack_wins else out["qps_dense"]
-tf = tflops_packed if pack_wins else tflops_dense
-if tf:
-    out["tflops"] = tf
+    print("# cost_analysis failed:", e, file=sys.stderr)
 print("RESULT=" + json.dumps(out))
 """
 
@@ -411,7 +393,41 @@ CPU_PREAMBLE = (
 )
 
 
+# Global wall-clock budget. The driver runs bench.py under an external
+# timeout (round 4's run was killed at rc 124 with NOTHING printed after
+# ~50 min of cold compiles over the tunnel): bench must always emit its
+# one JSON line before that. Two defenses:
+#   * every mode subprocess is capped by the REMAINING budget, and modes
+#     are ordered headline-first so the important numbers land early;
+#   * SIGTERM/SIGINT (what `timeout` sends) triggers an immediate partial
+#     emit of whatever has been measured so far.
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("RUART_BENCH_BUDGET_S", 2700))
+_EMITTED = False
+_OUT: dict = {}
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _emit(out: dict, baseline: float | None):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    headline = out.get("e2e_qps") or out.get("device_qps") or 0.0
+    out["value"] = round(headline, 3)
+    out["vs_baseline"] = round(headline / baseline, 3) if baseline else None
+    print(json.dumps(out), flush=True)
+
+
 def _run_mode(snippet: str, timeout: int = 2400, cpu: bool = False, **fmt):
+    # never let one mode eat past the global budget (leave 30 s to emit)
+    timeout = max(1, min(timeout, int(_remaining() - 30)))
+    if timeout < 60:
+        print("# bench mode skipped: budget exhausted", file=sys.stderr)
+        return None
     code = snippet.format(repo=REPO, **fmt)
     if cpu:
         code = CPU_PREAMBLE + code
@@ -456,12 +472,24 @@ PEAK_TFLOPS = 197.0
 
 
 def main():
+    import signal
+
     baseline = get_baseline()
     sys.path.insert(0, REPO)
-    out = {"metric": "questions_per_sec", "unit": "q/s"}
+    out = _OUT
+    out.update({"metric": "questions_per_sec", "unit": "q/s"})
     # all host-path numbers (e2e/serve) are bound by this machine's core
     # count — real TPU hosts have dozens (the num_worker pool scales there)
     out["host_cores"] = os.cpu_count()
+
+    # if the driver's outer `timeout` fires anyway, emit what we have
+    def _on_term(signum, frame):
+        print(f"# signal {signum}: emitting partial result", file=sys.stderr)
+        _emit(out, baseline)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     # the axon tunnel can be down for an hour+: probe cheaply, wait a
     # little, then fall back to an honest (labeled) CPU measurement at
@@ -476,7 +504,7 @@ def main():
             file=sys.stderr,
         )
         if attempt < probes - 1:
-            time.sleep(300)
+            time.sleep(min(300, max(0, _remaining() - 1200)))
     else:
         cpu = True
         out["platform"] = "cpu_fallback"
@@ -484,22 +512,23 @@ def main():
               file=sys.stderr)
     bs, n, train_bs = (16, 64, 4) if cpu else (256, 1024, 16)
 
-    device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", cpu=cpu)
-    if device is None and not cpu:
-        device = _run_mode(DEVICE_SNIPPET, bs=64, dt="bfloat16")
-    pack = 0
+    # --- device, shipped config (pack+compact+fuse all default-on) -----
+    pack = 1
+    device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=1, cpu=cpu)
+    if device is None:
+        # packed program failed on this platform: fall back to dense
+        device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=0,
+                           cpu=cpu)
+        pack = 0
     if device:
-        pack = int(device.get("pack", False))
         out["device_qps"] = round(device["qps"], 3)
-        if device.get("qps_packed"):
-            out["device_qps_packed"] = round(device["qps_packed"], 3)
-            out["device_qps_dense"] = round(device["qps_dense"], 3)
         out["pack"] = pack
         if "tflops" in device and not cpu:
             out["tflops"] = round(device["tflops"], 2)
             out["mfu_vs_roofline"] = round(device["tflops"] / ROOFLINE_TFLOPS, 4)
             out["mfu_vs_peak"] = round(device["tflops"] / PEAK_TFLOPS, 4)
 
+    # --- e2e offline scoring: the HEADLINE — run it early ---------------
     e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack, cpu=cpu)
     if e2e is None and pack:
         e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
@@ -528,8 +557,6 @@ def main():
     # + MFU against the same rooflines as the eval path
     if not cpu:
         train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=pack)
-        if train_big is None and pack:
-            train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=0)
         if train_big:
             out["train256_step_ms"] = round(train_big["step_ms"], 2)
             out["train256_qps"] = round(train_big["qps"], 3)
@@ -542,12 +569,17 @@ def main():
                     train_big["tflops"] / PEAK_TFLOPS, 4
                 )
 
+    # --- dense-device A/B arm: informative only, last in line -----------
+    if pack and _remaining() > 400:
+        dense = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=0,
+                          cpu=cpu)
+        if dense:
+            out["device_qps_packed"] = out.get("device_qps")
+            out["device_qps_dense"] = round(dense["qps"], 3)
+
     # headline: the end-to-end offline-scoring number (host pipeline
     # included); device-only is the fallback if the e2e mode failed
-    headline = out.get("e2e_qps") or out.get("device_qps") or 0.0
-    out["value"] = round(headline, 3)
-    out["vs_baseline"] = round(headline / baseline, 3) if baseline else None
-    print(json.dumps(out))
+    _emit(out, baseline)
 
 
 if __name__ == "__main__":

@@ -139,15 +139,23 @@ _ALIAS_KEYS = ("glove", "fasttext", "phoc")
 
 def put_block(block, put=None, slim=True):
     """device_put one q/ocr/od dict. ``slim`` drops provably-dead grid keys
-    (collate.slim_block); equal ``glove``/``fasttext``/``phoc`` grids
-    transfer ONCE (identity or byte-equality among host numpy arrays) —
-    together ~4x fewer flagship H2D bytes, which dominates the end-to-end
-    step under the axon tunnel (~120 MB/s) and is still PCIe traffic on
-    real hosts."""
+    (collate.slim_block); aliased ``glove``/``fasttext``/``phoc`` grids
+    transfer ONCE — together ~4x fewer flagship H2D bytes, which dominates
+    the end-to-end step under the axon tunnel (~120 MB/s) and is still
+    PCIe traffic on real hosts.
+
+    Aliases are detected by IDENTITY: the collator emits the shared grid
+    as literally the same ndarray object under each key (collate's
+    identity-probe pack), so `is` is both sufficient and free. A full
+    byte-equality fallback would burn host CPU on every multi-MB grid in
+    the hot prefetch path exactly when the arrays are distinct; it is
+    kept only behind RUART_VERIFY_ALIASES=1 for debugging collators that
+    copy instead of alias."""
     import numpy as np
 
     from ruart_tpu.data.collate import slim_block
 
+    verify = os.environ.get("RUART_VERIFY_ALIASES") == "1"
     if put is None:
         put = jax.device_put
     if slim:
@@ -159,7 +167,8 @@ def put_block(block, put=None, slim=True):
             hit = None
             for v2, d2 in seen:
                 if v is v2 or (
-                    isinstance(v, np.ndarray) and isinstance(v2, np.ndarray)
+                    verify
+                    and isinstance(v, np.ndarray) and isinstance(v2, np.ndarray)
                     and v.shape == v2.shape and v.dtype == v2.dtype
                     and np.array_equal(v, v2)
                 ):

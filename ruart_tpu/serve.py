@@ -86,6 +86,15 @@ class InferenceEngine:
         # hosts — the pool pays off on real multi-core TPU hosts).
         self.num_workers = int(cfg.opt.get("num_worker", 0))
         self._pool = None
+        # fork the pool EAGERLY, before this engine starts its device
+        # dispatch / prefetch threads: os.fork() from a multithreaded JAX
+        # process can deadlock in a worker (JAX warns on it), and the
+        # thread population only grows once serving traffic starts. The
+        # params may already live on device — that state is copy-on-write
+        # and the workers never touch jax — but the fewer live threads at
+        # fork time, the safer.
+        if self.num_workers > 0:
+            self._ensure_pool()
         # H2D slimming (`h2d_slim 1`): drop grid keys the model provably
         # never reads once the packed/unique tables are attached — see
         # collate.slim_block. Applied at device_put time AND to every
@@ -158,16 +167,39 @@ class InferenceEngine:
             return None
         global _FORK_ENGINE
         ctx = multiprocessing.get_context("fork")
-        prev, _FORK_ENGINE = _FORK_ENGINE, self
+        # _FORK_ENGINE must stay bound for the POOL'S LIFETIME, not just
+        # the initial fork: Pool's maintenance thread re-forks replacement
+        # workers whenever one dies, and a respawn under a None global
+        # would fail every subsequent pooled batch. Restored in close().
+        # (Only one pooled engine per process as a consequence — creating
+        # a second replaces the binding, so close() the first one first.)
+        _FORK_ENGINE = self
         self._pool = ctx.Pool(processes=self.num_workers)
-        _FORK_ENGINE = prev  # workers already forked with the engine
         return self._pool
 
     def close(self):
+        global _FORK_ENGINE
         if self._pool is not None:
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+            if _FORK_ENGINE is self:
+                _FORK_ENGINE = None
+
+    # the pool holds real worker processes: give callers deterministic
+    # release (with-block) plus a best-effort safety net on GC
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # -- inference -----------------------------------------------------------
     def _collated_batches(self, samples: Sequence[Dict[str, Any]]):

@@ -98,10 +98,12 @@ def test_evaluator_slims_by_default(shipped_conf_opt, monkeypatch):
     assert "bert" in ocr3 and "bert_offsets" in q3
 
 
-def test_put_block_ships_equal_id_grids_once(shipped_conf_opt):
+def test_put_block_ships_equal_id_grids_once(shipped_conf_opt, monkeypatch):
     """glove/fasttext/phoc routinely carry the same word-id grid; put_block
-    must reuse one device buffer for byte-equal grids (and keep distinct
-    grids distinct)."""
+    must reuse one device buffer for ALIASED grids (identity probe — the
+    collator emits the shared grid as the same ndarray object). Equal
+    content under a distinct object ships separately unless the
+    RUART_VERIFY_ALIASES debug flag turns byte comparison on."""
     from ruart_tpu.data.pipeline import put_block
 
     opt, cfg, spec, q, ocr, od = _env(shipped_conf_opt)
@@ -109,8 +111,15 @@ def test_put_block_ships_equal_id_grids_once(shipped_conf_opt):
     ocr["fasttext"] = ids.copy()          # equal content, distinct object
     ocr["phoc"] = ids                     # identical object
     dev = put_block(ocr, slim=False)
-    assert dev["glove"] is dev["fasttext"]
     assert dev["glove"] is dev["phoc"]
+    # hot path: no byte compare, the copy ships on its own buffer
+    assert dev["glove"] is not dev["fasttext"]
+    np.testing.assert_array_equal(np.asarray(dev["fasttext"]), ids)
+    # debug flag: byte-equal grids collapse
+    monkeypatch.setenv("RUART_VERIFY_ALIASES", "1")
+    devv = put_block(ocr, slim=False)
+    assert devv["glove"] is devv["fasttext"] is devv["phoc"]
+    monkeypatch.delenv("RUART_VERIFY_ALIASES")
     ocr["fasttext"] = ids + 1             # different content
     dev2 = put_block(ocr, slim=False)
     assert dev2["glove"] is not dev2["fasttext"]
