@@ -72,6 +72,80 @@ def slim_block(block):
     return {k: v for k, v in block.items() if k not in dead}
 
 
+# --- H2D dtype narrowing (`h2d_narrow 1`, default on) ---------------------
+# The flagship batch ships ~9 MB of int32 grids whose VALUES all fit in
+# 8/16 bits (word ids < vocab, POS/ENT tag ids < 128, wordpiece ids
+# < 30522, offsets/positions < 512, gather indices < their static table
+# sizes). Under the axon tunnel (~120 MB/s) the H2D transfer is a material
+# slice of the end-to-end step, and on real hosts it is still PCIe traffic
+# — so the collator emits the narrowest safe dtype and the model widens to
+# int32 on device (a free fused cast inside the jitted program). EXACT by
+# construction: every gate below is a static bound (conf caps, frozen tag
+# tables, array shapes — all of which are already compile keys), never the
+# batch's data, so dtypes are stable per program signature.
+
+# keys whose values are bounded by the frozen spaCy tag tables
+_NARROW_INT8 = ("pos", "ent")
+# keys bounded by a sequence-length cap (<= 512 everywhere)
+_NARROW_INT16 = (
+    "len", "num", "bert_packed_seg", "bert_packed_pos",
+    "bert_offsets", "bert_unique_offsets",
+)
+# wordpiece-id keys (bounded by the BERT vocab)
+_BERT_ID_KEYS = ("bert", "bert_unique", "bert_packed")
+# word-id keys (bounded by the task vocab; aliased grids stay aliased)
+_WORD_ID_KEYS = ("glove", "fasttext", "phoc")
+
+
+def narrow_block(block, word16: bool, bert16: bool):
+    """Narrow a collated block's integer arrays in place (returns block).
+
+    ``word16``/``bert16`` say whether the word / wordpiece vocabularies fit
+    int16 (conf-derived). Index keys (``bert_inverse``, ``bert_unpack``,
+    ``cand_sel``) narrow only when their STATIC bound — the shape of the
+    table they index — fits, which keeps the dtype a pure function of the
+    program signature."""
+    for k in _NARROW_INT8:
+        if k in block and block[k].dtype != np.int8:
+            block[k] = block[k].astype(np.int8)
+    for k in _NARROW_INT16:
+        if k in block and block[k].dtype.itemsize > 2:
+            block[k] = block[k].astype(np.int16)
+    if "bert_mask" in block and block["bert_mask"].dtype != np.int8:
+        block["bert_mask"] = block["bert_mask"].astype(np.int8)
+    if bert16:
+        for k in _BERT_ID_KEYS:
+            if k in block and block[k].dtype.itemsize > 2:
+                block[k] = block[k].astype(np.int16)
+    if word16:
+        cast = []  # (src, narrowed) pairs — aliased grids stay aliased
+        for k in _WORD_ID_KEYS:
+            v = block.get(k)
+            if v is not None and v.dtype.itemsize > 2:
+                hit = next((c for v2, c in cast if v is v2), None)
+                if hit is None:
+                    hit = v.astype(np.int16)
+                    cast.append((v, hit))
+                block[k] = hit
+    # gather indices: bound = the static size of what they index
+    if "bert_inverse" in block and block["bert_inverse"].dtype.itemsize > 2:
+        table = next(
+            (block[k] for k in ("bert_unique", "bert_unique_offsets",
+                                "bert_unpack") if k in block), None,
+        )
+        if table is not None and table.shape[0] < 2 ** 15:
+            block["bert_inverse"] = block["bert_inverse"].astype(np.int16)
+    if "bert_unpack" in block and block["bert_unpack"].dtype.itemsize > 2 \
+            and "bert_packed" in block and block["bert_packed"].size < 2 ** 15:
+        block["bert_unpack"] = block["bert_unpack"].astype(np.int16)
+    if "cand_sel" in block and block["cand_sel"].dtype.itemsize > 2:
+        ids = next((block[k] for k in _WORD_ID_KEYS if k in block), None)
+        # sentinel value == B * max_num (inclusive bound)
+        if ids is not None and ids.shape[0] * ids.shape[1] < 2 ** 15:
+            block["cand_sel"] = block["cand_sel"].astype(np.int16)
+    return block
+
+
 def _parse_buckets(raw, cap: int, floor: int = 1) -> Tuple[int, ...]:
     """Bucket ladder for one shape dimension, largest = the conf cap.
 
@@ -303,6 +377,13 @@ class Collator:
         # the scattered full grid.
         self.compact = bool(int(cfg.opt.get("cand_compact", 1)))
         self.compact_buckets = int(cfg.opt.get("cand_compact_buckets", 6))
+        # H2D dtype narrowing (`h2d_narrow 1`, default on; see narrow_block)
+        self.narrow = bool(int(cfg.opt.get("h2d_narrow", 1)))
+        vocab_size = int(cfg.opt.get("vocab_size", 0))
+        self.narrow_word16 = 0 < vocab_size < 2 ** 15
+        # standard uncased BERT vocab is 30522; override `bert_vocab_size`
+        # for custom vocabularies past 32767
+        self.narrow_bert16 = int(cfg.opt.get("bert_vocab_size", 30522)) < 2 ** 15
 
     # -- candidate block -------------------------------------------------
     def _collate_items(
@@ -777,4 +858,7 @@ class Collator:
             num_scores=self.num_scores - cfg.max_ocr_num + n_bucket,
         )
         extra = [t["extra_info"] for t in batch]
+        if self.narrow:
+            for block in (q, ocr, od):
+                narrow_block(block, self.narrow_word16, self.narrow_bert16)
         return q, ocr, od, gt, extra

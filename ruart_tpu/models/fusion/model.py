@@ -58,6 +58,23 @@ def _flatten_cand(x: jax.Array) -> jax.Array:
     return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
 
 
+def _widen_ints(item: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Restore int32 for wire-narrowed integer arrays (`h2d_narrow`).
+
+    The collator ships id grids / offsets / gather indices as int8/int16
+    to cut H2D bytes (collate.narrow_block); on device the cast back is
+    free (fused into the first consumer). Values are exact — narrowing is
+    gated on static bounds host-side."""
+    return {
+        k: (
+            v.astype(jnp.int32)
+            if v.dtype.kind in "iu" and v.dtype.itemsize < 4
+            else v
+        )
+        for k, v in item.items()
+    }
+
+
 class RUArtModel(nn.Module):
     spec: ModelSpec
 
@@ -560,6 +577,10 @@ class RUArtModel(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         s = self.spec
+        # widen narrowed H2D dtypes (collate.narrow_block ships int8/int16
+        # grids over the wire; int32 is restored here as a free fused cast
+        # on device — values are exact, see `h2d_narrow`)
+        q, ocr, od = (_widen_ints(t) for t in (q, ocr, od))
 
         # --- fused encoder pass (TPU perf; exact — see _fused_bert) ----
         od_encodes = not (

@@ -22,7 +22,12 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from ruart_tpu.core.config import Config
-from ruart_tpu.data.collate import COMPACT_KEYS, DEDUP_KEYS, Collator
+from ruart_tpu.data.collate import (
+    COMPACT_KEYS,
+    DEDUP_KEYS,
+    Collator,
+    narrow_block,
+)
 from ruart_tpu.data.dataset import VQADataset
 from ruart_tpu.data.preprocess import Preprocessor
 from ruart_tpu.eval.decoder import decode_batch
@@ -105,6 +110,16 @@ class InferenceEngine:
         from ruart_tpu.data.collate import slim_block
 
         return slim_block(block) if self._h2d_slim else block
+
+    def _renarrow(self, block):
+        """Match warmup-variant dtypes to live traffic: hand-built variant
+        keys (int32 zeros/aranges) must narrow exactly like the collator's
+        output, or every live batch would miss the warmed signature and pay
+        a multi-minute compile. Idempotent; mutates ``block`` in place."""
+        coll = self.collator
+        if coll.narrow:
+            narrow_block(block, coll.narrow_word16, coll.narrow_bert16)
+        return block
 
     # -- host featurization ------------------------------------------------
     def _to_raw_datum(self, sample: Dict[str, Any], qid: int) -> Dict[str, Any]:
@@ -480,8 +495,9 @@ class InferenceEngine:
                         ])
                     block["bert_unique"] = uniq.astype(np.int32)
                 self.eval_step(
-                    self.params, self._slim(q), self._slim(ocr_v),
-                    self._slim(od_v), None,
+                    self.params, self._slim(self._renarrow(q)),
+                    self._slim(self._renarrow(ocr_v)),
+                    self._slim(self._renarrow(od_v)), None,
                 )
                 count += 1
         return count
@@ -534,9 +550,12 @@ class InferenceEngine:
 
         def run(qq, oo, dd):
             nonlocal count
-            # variants are built on FULL host dicts; slim exactly like the
-            # live device_put path so the compiled signature matches
-            qq, oo, dd = self._slim(qq), self._slim(oo), self._slim(dd)
+            # variants are built on FULL host dicts; narrow + slim exactly
+            # like the live collate/device_put path so the compiled
+            # signature (dtypes included) matches
+            qq, oo, dd = (
+                self._slim(self._renarrow(dict(t))) for t in (qq, oo, dd)
+            )
             sig = tuple(
                 (k, v.shape)
                 for t in (qq, oo, dd)
