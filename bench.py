@@ -298,10 +298,13 @@ cfg, ds, tok, pre, spec, model, coll, params = build_corpus_model(
     {bs}, {dt!r}, N, pack={pack})
 step = make_eval_step(model)
 evaluate(step, params, ds, cfg, coll)   # compile + cache warm
-t0 = time.perf_counter()
-r = evaluate(step, params, ds, cfg, coll)
-dt = time.perf_counter() - t0
-print("RESULT=" + json.dumps({{"qps": r["n"] / dt}}))
+# median of 3 timed passes: a single pass over the tunnel swings +-15%
+qps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    r = evaluate(step, params, ds, cfg, coll)
+    qps.append(r["n"] / (time.perf_counter() - t0))
+print("RESULT=" + json.dumps({{"qps": sorted(qps)[1]}}))
 """
 
 SERVE_SNIPPET = r"""
@@ -327,11 +330,15 @@ reqs = [
     for d in raw
 ]
 engine.predict(reqs[: {bs}])    # compile + warm
-t0 = time.perf_counter()
-res = engine.predict(reqs)
-dt = time.perf_counter() - t0
-assert all(r is not None for r in res)
-print("RESULT=" + json.dumps({{"qps": len(reqs) / dt}}))
+# median of 3 timed passes: a single pass over the tunnel swings +-15%
+qps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    res = engine.predict(reqs)
+    dt = time.perf_counter() - t0
+    assert all(r is not None for r in res)
+    qps.append(len(reqs) / dt)
+print("RESULT=" + json.dumps({{"qps": sorted(qps)[1]}}))
 """
 
 TRAIN_SNIPPET = r"""
