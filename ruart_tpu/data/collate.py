@@ -478,6 +478,7 @@ class Collator:
             if _FC is not None
             else (lambda k1, k2: all(it[k1] is it[k2] for it in items_flat))
         )
+        scattered: Dict[str, np.ndarray] = {}
         for k in id_keys:
             src = next(
                 (k2 for k2 in filled if alias_all(k2, k)),
@@ -485,9 +486,15 @@ class Collator:
             )
             filled[k] = filled[src] if src is not None else fill_ids(k, max_len)
             compact, lens = filled[k]
-            # fresh scatter per key: outputs must not alias each other
-            # (callers may mutate individual blocks)
-            out[k] = scatter(compact, max_len)
+            # aliased sources emit the SAME output array: downstream
+            # put_block detects the identity and ships ONE buffer over the
+            # wire (the shared word-id grid is the largest key in a
+            # flagship batch, and glove/fasttext/phoc usually all carry
+            # it). Nothing in the runtime mutates collated grids in place.
+            out[k] = scattered[src] if src is not None else scatter(
+                compact, max_len
+            )
+            scattered[k] = out[k]
             if k == len_key:
                 len_arr = lens
         if len_arr is None and R:

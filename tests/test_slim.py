@@ -98,6 +98,23 @@ def test_evaluator_slims_by_default(shipped_conf_opt, monkeypatch):
     assert "bert" in ocr3 and "bert_offsets" in q3
 
 
+def test_collator_aliases_shared_id_grids(shipped_conf_opt):
+    """End-to-end alias chain: items sharing one word-id list under
+    glove/fasttext/phoc collate to the SAME output array, so put_block's
+    identity probe ships the (largest) grid once."""
+    from tests.test_buckets import _mini_items
+    from ruart_tpu.data.pipeline import put_block
+
+    opt = dict(shipped_conf_opt)
+    opt.update(TINY_OVERRIDES)
+    cfg = Config(opt)
+    items = _mini_items(cfg, 2, n_cands=4)
+    _, ocr, _, _, _ = Collator(cfg)(items)
+    assert ocr["glove"] is ocr["fasttext"]
+    dev = put_block(ocr, slim=False)
+    assert dev["glove"] is dev["fasttext"]
+
+
 def test_put_block_ships_equal_id_grids_once(shipped_conf_opt, monkeypatch):
     """glove/fasttext/phoc routinely carry the same word-id grid; put_block
     must reuse one device buffer for ALIASED grids (identity probe — the
