@@ -43,17 +43,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from ruart_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache(os.path.join(str(REPO_ROOT), ".jax_test_cache"))
-# A persistent-cache WRITE (compilation_cache.py put_executable_and_time)
-# segfaults any process that holds torch and jax together — torch's bundled
-# zstd symbols clash with the cache's zstd compressor. The torch-importing
-# files (TORCH_TEST_FILES) therefore run in a child pytest process with
-# cache writes disabled (warm reads still work); the torch-free main suite
-# keeps writes enabled so fresh-cache runs warm up for next time.
-if _IN_TORCH_SUBPROCESS:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# NO persistent compile cache in the test suite. Two distinct segfault
+# classes were traced to it on this host:
+#  * round 3: a cache WRITE (put_executable_and_time) in a process holding
+#    torch and jax together — torch's bundled zstd clashes with the
+#    cache's compressor (the torch tests now run in a child pytest
+#    process regardless, see TORCH_TEST_FILES);
+#  * round 5: a cache READ (get_executable_and_time) of an XLA:CPU AOT
+#    executable crashed a torch-FREE suite run at 264/~280 tests — the
+#    CPU AOT loader logs "machine feature mismatch ... could lead to
+#    execution errors" on every such load, and entry bytes decompress
+#    cleanly standalone, so deserialization itself is the hazard.
+# CPU compiles of the tiny test models are seconds each; a determinist
+# green run is worth more than the warm-cache minutes. bench/tools/CLI
+# subprocesses keep their own cache (TPU executables load fine).
 
 import pytest
 
