@@ -32,9 +32,19 @@ TORCH_TEST_FILES = [
     "test_sdnet_convert.py",
     "test_train.py",
 ]
+# Compile-heavy files that run in their OWN child pytest process when the
+# whole suite runs. Two full-suite runs (with and without the persistent
+# compile cache) segfaulted inside XLA:CPU at exactly test_serve's warmup
+# cross-product — the ~260th test and the heaviest compile burst of the
+# suite — while the same file passes standalone every time: accumulated
+# process state (hundreds of compiled programs on the 8-virtual-device
+# CPU backend) is the trigger, so give the burst a fresh process.
+ISOLATED_TEST_FILES = [
+    "test_serve.py",
+]
 _IN_TORCH_SUBPROCESS = bool(os.environ.get("RUART_TORCH_SUBPROCESS"))
 if not _IN_TORCH_SUBPROCESS:
-    collect_ignore = list(TORCH_TEST_FILES)
+    collect_ignore = list(TORCH_TEST_FILES) + list(ISOLATED_TEST_FILES)
 
 # The JAX_PLATFORMS env var is ignored in this environment (the experimental
 # 'axon' TPU plugin wins platform selection), so pin the platform via the
