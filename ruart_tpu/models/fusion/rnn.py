@@ -23,6 +23,14 @@ import jax.numpy as jnp
 
 from ruart_tpu.models.fusion.layers import dropout_fn, whole_tensor_layer_norm
 
+# lax.scan unroll factor for the LSTM recurrences. The fusion stack is
+# scan-latency-bound (hundreds of sequential [B,H]x[H,4H] steps per batch);
+# unrolling trades loop-dispatch overhead for program size with IDENTICAL
+# math (same op sequence, no reassociation). Env-tunable for device A/Bs.
+import os
+
+_SCAN_UNROLL = int(os.environ.get("RUART_SCAN_UNROLL", 1))
+
 
 def _uniform_init(scale: float):
     def init(key, shape, dtype=jnp.float32):
@@ -78,7 +86,9 @@ class LSTMLayer(nn.Module):
         B = x.shape[0]
         h0 = jnp.zeros((B, H), dtype=pre.dtype)
         c0 = jnp.zeros((B, H), dtype=pre.dtype)
-        _, ys = jax.lax.scan(step, (h0, c0), pre, reverse=self.reverse)
+        _, ys = jax.lax.scan(
+            step, (h0, c0), pre, reverse=self.reverse, unroll=_SCAN_UNROLL
+        )
         return jnp.swapaxes(ys, 0, 1)  # [B, L, H]
 
 
@@ -149,7 +159,7 @@ class BiLSTM(nn.Module):
 
         B = x.shape[0]
         h0 = jnp.zeros((2, B, H), dtype=pre.dtype)
-        _, ys = jax.lax.scan(step, (h0, h0), pre)                     # [L,2,B,H]
+        _, ys = jax.lax.scan(step, (h0, h0), pre, unroll=_SCAN_UNROLL)  # [L,2,B,H]
         fwd = jnp.moveaxis(ys[:, 0], 0, 1)                            # [B,L,H]
         bwd = jnp.moveaxis(ys[:, 1], 0, 1)[:, ::-1]
         return jnp.concatenate([fwd, bwd], axis=-1)
