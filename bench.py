@@ -520,12 +520,17 @@ def main():
     bs, n, train_bs = (16, 64, 4) if cpu else (256, 1024, 16)
 
     # --- device, shipped config (pack+compact+fuse all default-on) -----
+    # Per-mode timeout CAPS (tightened after a slow-tunnel day let the
+    # serve mode burn ~18 min and starve every later mode): a mode that
+    # can't finish inside its cap on a warm cache is broken/slow-tunnel,
+    # and losing ONE mode's number beats losing all the ones behind it.
     pack = 1
-    device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=1, cpu=cpu)
+    device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=1, cpu=cpu,
+                       timeout=1500)
     if device is None:
         # packed program failed on this platform: fall back to dense
         device = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=0,
-                           cpu=cpu)
+                           cpu=cpu, timeout=1200)
         pack = 0
     if device:
         out["device_qps"] = round(device["qps"], 3)
@@ -536,34 +541,38 @@ def main():
             out["mfu_vs_peak"] = round(device["tflops"] / PEAK_TFLOPS, 4)
 
     # --- e2e offline scoring: the HEADLINE — run it early ---------------
-    e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack, cpu=cpu)
+    e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack,
+                    cpu=cpu, timeout=1200)
     if e2e is None and pack:
         e2e = _run_mode(E2E_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
-                        cpu=cpu)
+                        cpu=cpu, timeout=1200)
     if e2e:
         out["e2e_qps"] = round(e2e["qps"], 3)
 
-    serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack,
-                      cpu=cpu)
-    if serve is None and pack:
-        serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
-                          cpu=cpu)
-    if serve:
-        out["serve_qps"] = round(serve["qps"], 3)
-
+    # shipped-batch train BEFORE serve: it is cheap, and the serve mode is
+    # the one that goes long on a slow tunnel (signature warmup burst)
     train = _run_mode(TRAIN_SNIPPET, bs=train_bs, dt="bfloat16", pack=pack,
-                      cpu=cpu)
+                      cpu=cpu, timeout=600)
     if train is None and pack:
         train = _run_mode(TRAIN_SNIPPET, bs=train_bs, dt="bfloat16", pack=0,
-                          cpu=cpu)
+                          cpu=cpu, timeout=600)
     if train:
         out["train_step_ms"] = round(train["step_ms"], 2)
         out["train_qps"] = round(train["qps"], 3)
 
+    serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=pack,
+                      cpu=cpu, timeout=900)
+    if serve is None and pack:
+        serve = _run_mode(SERVE_SNIPPET, bs=bs, dt="bfloat16", n=n, pack=0,
+                          cpu=cpu, timeout=600)
+    if serve:
+        out["serve_qps"] = round(serve["qps"], 3)
+
     # flagship-batch train step (the throughput shape): train-side TFLOP/s
     # + MFU against the same rooflines as the eval path
     if not cpu:
-        train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=pack)
+        train_big = _run_mode(TRAIN_SNIPPET, bs=bs, dt="bfloat16", pack=pack,
+                              timeout=900)
         if train_big:
             out["train256_step_ms"] = round(train_big["step_ms"], 2)
             out["train256_qps"] = round(train_big["qps"], 3)
@@ -579,7 +588,7 @@ def main():
     # --- dense-device A/B arm: informative only, last in line -----------
     if pack and _remaining() > 400:
         dense = _run_mode(DEVICE_SNIPPET, bs=bs, dt="bfloat16", pack=0,
-                          cpu=cpu)
+                          cpu=cpu, timeout=600)
         if dense:
             out["device_qps_packed"] = out.get("device_qps")
             out["device_qps_dense"] = round(dense["qps"], 3)
